@@ -1,0 +1,149 @@
+"""The jitted train step.
+
+Replaces the reference's python train loop body (simvg/apis/
+train.py:49-141: forward -> backward -> clip -> Adam step -> EMA ->
+train metrics) with ONE compiled function over the device mesh:
+
+- forward+loss+backward fused by XLA; gradients are globally reduced by
+  pjit (DDP all-reduce equivalent);
+- optimizer + EMA updates donate their buffers (no host round-trips);
+- train-time Prec@0.5 / IoU metrics are computed on device, so the host
+  only receives a handful of scalars per logged step.
+
+Batch dict (all device arrays, batch axis sharded over "data"):
+    image [B,H,W,3], text_ids [B,T], text_padding_mask [B,T],
+    img_shape [B,2], gt_boxes [B,Tm,4] (xyxy, image scale),
+    gt_labels [B,Tm], gt_valid [B,Tm]
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from simvg_tpu.losses.criterion import (
+    normalize_targets,
+    simvg_branch_losses,
+)
+from simvg_tpu.models.model import decode_predictions
+from simvg_tpu.ops.boxes import box_iou_aligned
+from .train_state import TrainState, ema_update
+
+
+def _train_metrics(out, batch) -> Dict[str, jnp.ndarray]:
+    """Per-branch Prec@0.5 on device (apis/train.py:104-140 equivalent,
+    single-target path; GRec F1 runs on host in eval)."""
+    metrics = {}
+    gt = batch["gt_boxes"][:, 0, :]  # first target (non-GRec: exactly one)
+    for name, cls_key, box_key in (
+        ("decoder", "class_decoder", "bbox_decoder"),
+        ("token", "class_token", "bbox_token"),
+    ):
+        pred = decode_predictions(
+            out[cls_key][-1], out[box_key][-1], batch["img_shape"]
+        )
+        iou = box_iou_aligned(pred["best_box"], gt)
+        metrics[f"{name}_det_acc"] = (iou >= 0.5).mean() * 100.0
+        metrics[f"{name}_miou"] = iou.mean() * 100.0
+    return metrics
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    *,
+    branch_loss_weight: Dict,
+    prepare_target_mode: str = "score_iou_weighted",
+    distill_type: str = "hard_weighted",
+    ema_alpha: Optional[float] = None,
+    dp_size: int = 1,
+    with_metrics: bool = True,
+) -> Callable:
+    """Build the pure train_step(state, batch, rng) -> (state, scalars)."""
+
+    def train_step(state: TrainState, batch: Dict[str, Any], rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out = model.apply(
+                params,
+                image=batch["image"],
+                text_ids=batch["text_ids"],
+                text_padding_mask=batch["text_padding_mask"],
+                img_shape=batch["img_shape"],
+                deterministic=False,
+                rngs={"dropout": rng},
+            )
+            targets = normalize_targets(
+                batch["gt_boxes"], batch["gt_labels"], batch["gt_valid"],
+                batch["img_shape"],
+            )
+            losses = simvg_branch_losses(
+                out,
+                targets,
+                branch_loss_weight=branch_loss_weight,
+                prepare_target_mode=prepare_target_mode,
+                distill_type=distill_type,
+                dp_size=dp_size,
+            )
+            return losses["loss_total"], (losses, out)
+
+        (loss, (losses, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        ema_params, ema_step = state.ema_params, state.ema_step
+        if ema_params is not None and ema_alpha is not None:
+            ema_params, ema_step = ema_update(
+                ema_params, params, ema_step, ema_alpha
+            )
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+            ema_step=ema_step,
+        )
+
+        scalars = {k: v for k, v in losses.items()}
+        scalars["grad_norm"] = optax.global_norm(grads)
+        if with_metrics:
+            scalars.update(_train_metrics(out, batch))
+        return new_state, scalars
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    """Pure forward returning decoded predictions for both branches
+    (MIXDETRMB.forward_test, mix_detr_mb.py:77-125)."""
+
+    def eval_step(params, batch):
+        out = model.apply(
+            params,
+            image=batch["image"],
+            text_ids=batch["text_ids"],
+            text_padding_mask=batch["text_padding_mask"],
+            img_shape=batch["img_shape"],
+            deterministic=True,
+        )
+        preds = {}
+        for name, ck, bk in (
+            ("decoder", "class_decoder", "bbox_decoder"),
+            ("token", "class_token", "bbox_token"),
+        ):
+            preds[name] = decode_predictions(
+                out[ck][-1], out[bk][-1], batch["img_shape"],
+                batch.get("scale_factor"),
+            )
+        return preds
+
+    return eval_step

@@ -1,0 +1,140 @@
+"""Train state: optimizer with per-module LR groups, LR schedule, EMA.
+
+Reference semantics being reproduced:
+
+- Optimizer: Adam(amsgrad=True, betas=(0.9, 0.98), eps=1e-9, wd=0) with
+  THREE parameter groups — vis_enc at lr/10, lan_enc at lr, rest at lr
+  (tools/train.py:78-94; configs .../refcoco_onestage.py:113-123).  Here:
+  optax.amsgrad under optax.multi_transform keyed on the parameter path
+  prefix (``beit3`` == vis_enc).
+- Scheduler: MultiStepLRWarmUp — per-epoch multiplicative factor,
+  linear warmup (epoch+1)/(warmup+1) then step decay at decay_steps
+  (simvg/core/scheduler.py:13-44).  Expressed as an optax schedule over
+  *steps* given steps_per_epoch.
+- Grad clipping: global-norm 0.15 before the update
+  (apis/train.py:79-81; cfg grad_norm_clip).
+- EMA: shadow = d*shadow + (1-d)*param with warmup decay
+  d = min(alpha, (step+1)/(step+10)) (simvg/models/utils.py:148-173).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+    ema_step: Optional[jnp.ndarray] = None
+
+
+def multistep_lr_warmup(
+    base_lr: float,
+    steps_per_epoch: int,
+    warmup_epochs: int = 3,
+    decay_steps: Sequence[int] = (25,),
+    decay_ratio: float = 0.1,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Per-step schedule matching the reference's per-epoch factor
+    (scheduler.py:24-38): epochs 0..warmup-1 ramp (e+1)/(warmup+1); after
+    that multiply decay_ratio per decay step passed.
+
+    Note the reference steps its scheduler at the END of each epoch
+    (tools/train.py:181), so epoch e trains with factor(e).
+    """
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        warm = (epoch + 1.0) / (warmup_epochs + 1.0)
+        factor = jnp.where(epoch <= warmup_epochs - 1, warm, 1.0)
+        decay = jnp.asarray(1.0, jnp.float32)
+        for s in decay_steps:
+            decay = decay * jnp.where(epoch + 1 >= s, decay_ratio, 1.0)
+        factor = jnp.where(epoch <= warmup_epochs - 1, warm, decay)
+        return base_lr * factor
+
+    return schedule
+
+
+def _group_label(path_parts) -> str:
+    top = str(getattr(path_parts[0], "key", path_parts[0]))
+    # flax wraps params under 'params'
+    if top == "params" and len(path_parts) > 1:
+        top = str(getattr(path_parts[1], "key", path_parts[1]))
+    if top in ("beit3", "vis_enc"):
+        return "vis_enc"
+    if top in ("lan_enc",):
+        return "lan_enc"
+    return "rest"
+
+
+def create_optimizer(
+    lr: float,
+    steps_per_epoch: int,
+    *,
+    lr_vis_enc: Optional[float] = None,
+    lr_lan_enc: Optional[float] = None,
+    betas=(0.9, 0.98),
+    eps: float = 1e-9,
+    grad_norm_clip: float = 0.15,
+    warmup_epochs: int = 3,
+    decay_steps: Sequence[int] = (25,),
+    decay_ratio: float = 0.1,
+) -> optax.GradientTransformation:
+    lr_vis_enc = lr / 10.0 if lr_vis_enc is None else lr_vis_enc
+    lr_lan_enc = lr if lr_lan_enc is None else lr_lan_enc
+
+    def mk(base):
+        return optax.amsgrad(
+            learning_rate=multistep_lr_warmup(
+                base, steps_per_epoch, warmup_epochs, decay_steps,
+                decay_ratio
+            ),
+            b1=betas[0],
+            b2=betas[1],
+            eps=eps,
+        )
+
+    transforms = {
+        "vis_enc": mk(lr_vis_enc),
+        "lan_enc": mk(lr_lan_enc),
+        "rest": mk(lr),
+    }
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda kp, _: _group_label(kp), params
+        )
+
+    tx = optax.multi_transform(transforms, label_fn)
+    if grad_norm_clip and grad_norm_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_norm_clip), tx)
+    return tx
+
+
+def create_train_state(
+    params, tx: optax.GradientTransformation, ema: bool = False
+) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params) if ema else None,
+        ema_step=jnp.zeros((), jnp.int32) if ema else None,
+    )
+
+
+def ema_update(ema_params, params, ema_step, alpha: float = 0.999):
+    """models/utils.py:148-158 shadow update."""
+    decay = jnp.minimum(alpha, (ema_step + 1.0) / (ema_step + 10.0))
+    new = jax.tree.map(
+        lambda s, p: decay * s + (1.0 - decay) * p, ema_params, params
+    )
+    return new, ema_step + 1

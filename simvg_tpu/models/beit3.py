@@ -31,6 +31,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from simvg_tpu.ops.attention import multihead_attention
@@ -320,7 +321,7 @@ class BEiT3Encoder(nn.Module):
 
         dpr = [
             float(r)
-            for r in jnp.linspace(0.0, cfg.drop_path_rate, cfg.num_layers)
+            for r in np.linspace(0.0, cfg.drop_path_rate, cfg.num_layers)
         ]
         for i in range(cfg.num_layers):
             x = EncoderLayer(cfg, drop_path_rate=dpr[i], name=f"layers_{i}")(

@@ -1,0 +1,234 @@
+"""Criterion parity tests.
+
+Oracle: an independent numpy/scipy implementation of the reference's
+ragged-list loss semantics (simvg/core/criterion/criterion.py +
+tgqs_kd_detr_head.py prepare/soft-target logic), written from the spec.
+Our batched/padded jnp criterion must agree on random problems with
+variable per-sample target counts.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from simvg_tpu.losses.criterion import (
+    Targets,
+    prepare_soft_targets,
+    set_criterion,
+    simvg_branch_losses,
+)
+
+
+# ---------------------------------------------------------------- oracle
+
+def softmax(x, axis=-1):
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def cxcywh_to_xyxy(b):
+    cx, cy, w, h = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+
+def pair_giou(a, b):
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    iou = inter / union
+    lt2 = np.minimum(a[:, None, :2], b[None, :, :2])
+    rb2 = np.maximum(a[:, None, 2:], b[None, :, 2:])
+    wh2 = np.clip(rb2 - lt2, 0, None)
+    hull = wh2[..., 0] * wh2[..., 1]
+    return iou - (hull - union) / hull
+
+
+def oracle_match(logits, boxes, tgt_labels, tgt_boxes):
+    """detrex ce_cost matcher per sample."""
+    prob = softmax(logits)
+    cc = -prob[:, tgt_labels]
+    cb = np.abs(boxes[:, None, :] - tgt_boxes[None, :, :]).sum(-1)
+    cg = -pair_giou(cxcywh_to_xyxy(boxes), cxcywh_to_xyxy(tgt_boxes))
+    cost = 1 * cc + 5 * cb + 2 * cg
+    return linear_sum_assignment(cost)
+
+
+def oracle_set_criterion(all_logits, all_boxes, tgts, num_classes=1,
+                         eos_coef=0.1, loss_class_type="ce_loss",
+                         weights=(1.0, 5.0, 2.0)):
+    """Reference SetCriterion semantics on ragged targets.
+
+    tgts: list of dicts {labels [n], boxes [n,4], weight [n] (optional)}.
+    Returns weighted total across layers (aux included).
+    """
+    L, B, Q, _ = all_logits.shape
+    num_boxes = max(sum(len(t["labels"]) for t in tgts), 1)
+    total = 0.0
+    for layer in range(L):
+        logits, boxes = all_logits[layer], all_boxes[layer]
+        ce_terms_num, ce_terms_den = 0.0, 0.0
+        wce_total = 0.0
+        l1_total, giou_total = 0.0, 0.0
+        for b in range(B):
+            t = tgts[b]
+            n = len(t["labels"])
+            if n > 0:
+                rows, cols = oracle_match(logits[b], boxes[b],
+                                          t["labels"], t["boxes"])
+            else:
+                rows, cols = np.array([], int), np.array([], int)
+            tgt_cls = np.full(Q, num_classes, int)
+            tgt_cls[rows] = t["labels"][cols]
+            logp = np.log(softmax(logits[b]))
+            nll = -logp[np.arange(Q), tgt_cls]
+            cw = np.where(tgt_cls == num_classes, eos_coef, 1.0)
+            if loss_class_type == "ce_loss":
+                ce_terms_num += (cw * nll).sum()
+                ce_terms_den += cw.sum()
+            else:  # weighted_ce_loss (reference's target-index quirk)
+                qw = np.full(Q, 0.1)
+                qw[cols] = 1.0  # NOTE: target indices, as in reference
+                wce_total += (qw * (cw * nll)).mean()
+            src = boxes[b][rows]
+            tb = t["boxes"][cols]
+            l1 = np.abs(src - tb).sum(-1)
+            g = 1 - np.diag(pair_giou(cxcywh_to_xyxy(src),
+                                      cxcywh_to_xyxy(tb)))
+            if loss_class_type == "weighted_ce_loss":
+                pw = t["weight"][cols]
+                l1 = l1 * pw
+                g = g * pw
+            l1_total += l1.sum()
+            giou_total += g.sum()
+        if loss_class_type == "ce_loss":
+            lc = ce_terms_num / ce_terms_den
+        else:
+            lc = wce_total
+        total += (weights[0] * lc + weights[1] * l1_total / num_boxes
+                  + weights[2] * giou_total / num_boxes)
+    return total
+
+
+def _rand_problem(rng, L=2, B=3, Q=5, Tm=3, C=1):
+    logits = rng.normal(size=(L, B, Q, C + 1)).astype(np.float32)
+    boxes = rng.uniform(0.2, 0.8, (L, B, Q, 4)).astype(np.float32)
+    boxes[..., 2:] = rng.uniform(0.05, 0.2, (L, B, Q, 2))
+    counts = rng.integers(1, Tm + 1, B)
+    tgt_boxes = np.zeros((B, Tm, 4), np.float32)
+    tgt_labels = np.zeros((B, Tm), np.int64)
+    valid = np.zeros((B, Tm), bool)
+    ragged = []
+    for b in range(B):
+        n = counts[b]
+        tb = np.stack(
+            [
+                rng.uniform(0.3, 0.7, n),
+                rng.uniform(0.3, 0.7, n),
+                rng.uniform(0.05, 0.3, n),
+                rng.uniform(0.05, 0.3, n),
+            ],
+            -1,
+        ).astype(np.float32)
+        tgt_boxes[b, :n] = tb
+        valid[b, :n] = True
+        ragged.append({"labels": np.zeros(n, int), "boxes": tb,
+                       "weight": np.ones(n, np.float32)})
+    targets = Targets(
+        labels=jnp.asarray(tgt_labels, jnp.int32),
+        boxes=jnp.asarray(tgt_boxes),
+        valid=jnp.asarray(valid),
+        weight=jnp.ones((B, Tm), jnp.float32),
+    )
+    return logits, boxes, targets, ragged
+
+
+def test_set_criterion_matches_oracle():
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        logits, boxes, targets, ragged = _rand_problem(rng)
+        ours = set_criterion(jnp.asarray(logits), jnp.asarray(boxes),
+                             targets)
+        oracle = oracle_set_criterion(logits, boxes, ragged)
+        np.testing.assert_allclose(float(ours["total"]), oracle,
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_set_criterion_single_query_single_target():
+    """num_queries=1 (the RefCOCO config) reduces to direct supervision."""
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(1, 2, 1, 2)).astype(np.float32)
+    boxes = np.full((1, 2, 1, 4), 0.5, np.float32)
+    tgt = Targets(
+        labels=jnp.zeros((2, 1), jnp.int32),
+        boxes=jnp.asarray(np.full((2, 1, 4), 0.5, np.float32)),
+        valid=jnp.ones((2, 1), bool),
+        weight=jnp.ones((2, 1), jnp.float32),
+    )
+    out = set_criterion(jnp.asarray(logits), jnp.asarray(boxes), tgt)
+    # perfect boxes -> zero box losses
+    np.testing.assert_allclose(float(out["loss_bbox"]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(out["loss_giou"]), 0.0, atol=1e-6)
+
+
+def test_prepare_soft_targets_score_iou():
+    rng = np.random.default_rng(2)
+    logits, boxes, targets, ragged = _rand_problem(rng, L=1)
+    tp, wd = prepare_soft_targets(
+        jnp.asarray(logits[0]), jnp.asarray(boxes[0]), targets
+    )
+    tp_valid = np.asarray(tp.valid)
+    # every valid GT of class 0 should be matched (Q >= T)
+    assert tp_valid.sum() == np.asarray(targets.valid).sum()
+    # oracle: match teacher to gt, weight = P(cls0)*iou
+    w_all = []
+    for b, t in enumerate(ragged):
+        rows, cols = oracle_match(logits[0][b], boxes[0][b], t["labels"],
+                                  t["boxes"])
+        sc = softmax(logits[0][b])[:, 0]
+        pb = boxes[0][b][rows]
+        gb = t["boxes"][cols]
+        area = lambda x: cxcywh_to_xyxy(x)
+        a, bb = area(pb), area(gb)
+        lt = np.maximum(a[:, :2], bb[:, :2])
+        rb = np.minimum(a[:, 2:], bb[:, 2:])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[:, 0] * wh[:, 1]
+        ua = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+              + (bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1]) - inter)
+        w_all.extend((sc[rows] * inter / ua).tolist())
+    np.testing.assert_allclose(float(wd), np.mean(w_all), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_balanced_distill_pipeline_runs():
+    rng = np.random.default_rng(3)
+    logits, boxes, targets, _ = _rand_problem(rng, L=3)
+    head_out = {
+        "class_decoder": jnp.asarray(logits),
+        "bbox_decoder": jnp.asarray(boxes),
+        "class_token": jnp.asarray(logits[-1:]),
+        "bbox_token": jnp.asarray(boxes[-1:]),
+    }
+    out = simvg_branch_losses(
+        head_out,
+        targets,
+        branch_loss_weight={"decoder": 1.0,
+                            "balanced_distill": {"token": 2.0,
+                                                 "distill": 1.0}},
+    )
+    assert set(out) >= {"loss_dgt", "loss_tgt", "loss_kd", "loss_total",
+                        "loss_distill_w"}
+    for k, v in out.items():
+        assert np.isfinite(float(v)), k
+    # total = sum of branches
+    np.testing.assert_allclose(
+        float(out["loss_total"]),
+        float(out["loss_dgt"]) + float(out["loss_tgt"])
+        + float(out["loss_kd"]),
+        rtol=1e-5,
+    )
