@@ -1,0 +1,89 @@
+"""Build datasets + loaders from reference-style config dicts.
+
+Translates the reference's pipeline-dict config surface
+(configs/_base_/datasets/detection/*.py; ops registered in
+simvg/datasets/pipelines/) into our host pipeline:
+
+- ``LoadImageAnnotationsFromFile`` parameters (max_token, dataset,
+  use_token_type, with_bbox/with_mask) configure the dataset object
+  itself;
+- ``LargeScaleJitter``/``Resize``/``Normalize``/``Pad`` map 1:1 to
+  simvg_tpu.data.transforms;
+- ``DefaultFormatBundle``/``CollectData`` are no-ops: static-shape
+  collation (loader.collate) replaces DataContainer formatting.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+from . import transforms as T
+from .datasets import BaseDataset, build_dataset
+from .loader import DataLoader
+
+_NOOP_TYPES = {"DefaultFormatBundle", "CollectData"}
+
+
+def build_pipeline(pipeline_cfg) -> Tuple[list, Dict[str, Any]]:
+    """Returns (transform list, loader-level settings from the load op)."""
+    tfs = []
+    load_cfg: Dict[str, Any] = {}
+    for op in pipeline_cfg or []:
+        op = dict(op)
+        kind = op.pop("type")
+        if kind == "LoadImageAnnotationsFromFile":
+            load_cfg = op
+        elif kind == "LargeScaleJitter":
+            tfs.append(T.LargeScaleJitter(**op))
+        elif kind == "Resize":
+            tfs.append(T.Resize(tuple(op.pop("img_scale")),
+                                keep_ratio=op.pop("keep_ratio", True)))
+        elif kind == "Normalize":
+            tfs.append(T.Normalize(**op))
+        elif kind == "Pad":
+            tfs.append(T.Pad(**op))
+        elif kind in _NOOP_TYPES:
+            continue
+        else:
+            raise ValueError(f"unknown pipeline op {kind!r}")
+    return tfs, load_cfg
+
+
+def build_dataset_from_cfg(split_cfg: Dict[str, Any], *,
+                           dataset_type: Optional[str] = None,
+                           tokenizer=None, seed: int = 6666
+                           ) -> BaseDataset:
+    split_cfg = dict(split_cfg)
+    ds_type = split_cfg.pop("type", dataset_type)
+    tfs, load_cfg = build_pipeline(split_cfg.pop("pipeline", []))
+    split_cfg.pop("word_emb_cfg", None)  # legacy GloVe path
+    return build_dataset(
+        ds_type,
+        imgsfile=split_cfg.pop("imgsfile"),
+        annsfile=split_cfg.pop("annsfile"),
+        which_set=split_cfg.pop("which_set", "train"),
+        img_source=split_cfg.pop("img_source", ["coco"]),
+        tokenizer=tokenizer,
+        max_token=load_cfg.get("max_token", 20),
+        transforms=tfs,
+        with_bbox=load_cfg.get("with_bbox", True),
+        with_mask=load_cfg.get("with_mask", False),
+        use_token_type=load_cfg.get("use_token_type", "beit3"),
+        seed=seed,
+    )
+
+
+def build_loader_from_cfg(dataset: BaseDataset, cfg, *, train: bool,
+                          canvas: int, max_gt: int = 1,
+                          seed: int = 6666) -> DataLoader:
+    data = cfg["data"]
+    return DataLoader(
+        dataset,
+        batch_size=data.get("samples_per_gpu", 32),
+        canvas=canvas,
+        max_gt=max_gt,
+        shuffle=train,
+        drop_last=train,
+        num_workers=data.get("workers_per_gpu", 8),
+        seed=seed,
+    )

@@ -1,0 +1,193 @@
+"""Batching + static-shape collation + prefetching loader.
+
+Replaces the reference's torch DataLoader/DataContainer stack
+(simvg/datasets/builder.py:25-56, utils.py:37-118) with a
+TPU-friendly host loader:
+
+- every batch has STATIC shapes: images live on a fixed (canvas, canvas)
+  NHWC canvas, GT boxes are padded to ``max_gt`` with a validity mask,
+  text is padded to ``max_token`` upstream.  XLA compiles the train step
+  exactly once.
+- aspect-ratio group batching (GroupSampler semantics,
+  mmdet samplers referenced at builder.py:31-37): batches are drawn from
+  one flag group, with an epoch-seeded shuffle
+  (``sampler.set_epoch`` equivalent, apis/train.py:40-41).
+- data-parallel sharding by host: ``shard_id``/``num_shards`` slice the
+  batch stream like DistributedSampler.
+- a thread pool decodes/transforms samples concurrently (cv2 releases
+  the GIL), double-buffering the next batch while the device computes.
+
+Batch dict (numpy): image [B,H,W,3] f32, text_ids [B,T] i32,
+text_padding_mask [B,T] i32, img_shape [B,2] i32, scale_factor [B,4]
+f32, gt_boxes [B,max_gt,4] f32, gt_labels [B,max_gt] i32,
+gt_valid [B,max_gt] bool, batch_valid [B] bool (False = wrap-padding in
+the final eval batch), meta: list of per-sample dicts (expression,
+filename, target, ori_shape).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def collate(samples: List[dict], canvas: int, max_gt: int = 1,
+            valid: Optional[List[bool]] = None) -> Dict:
+    b = len(samples)
+    image = np.zeros((b, canvas, canvas, 3), np.float32)
+    img_shape = np.zeros((b, 2), np.int32)
+    scale_factor = np.ones((b, 4), np.float32)
+    t = len(samples[0]["ref_expr_inds"])
+    text_ids = np.zeros((b, t), np.int32)
+    text_mask = np.ones((b, t), np.int32)
+    gt_boxes = np.zeros((b, max_gt, 4), np.float32)
+    gt_labels = np.zeros((b, max_gt), np.int32)
+    gt_valid = np.zeros((b, max_gt), bool)
+    meta = []
+
+    for i, s in enumerate(samples):
+        img = s["img"]
+        h, w = img.shape[:2]
+        assert h <= canvas and w <= canvas, (img.shape, canvas)
+        image[i, :h, :w] = img
+        img_shape[i] = (s["img_shape"][0], s["img_shape"][1])
+        scale_factor[i] = s.get("scale_factor", np.ones(4, np.float32))
+        text_ids[i] = s["ref_expr_inds"]
+        text_mask[i] = s["text_attention_mask"]
+
+        gb = s.get("gt_bbox")
+        if gb is not None:
+            boxes = gb if isinstance(gb, list) else [gb]
+            target = s.get("target")
+            for j, bb in enumerate(boxes[:max_gt]):
+                gt_boxes[i, j] = bb
+                gt_valid[i, j] = True
+                if target is not None:
+                    gt_labels[i, j] = (
+                        1 if target[j].get("category_id") == -1 else 0
+                    )
+        meta.append({
+            "filename": s.get("filename"),
+            "expression": s.get("expression"),
+            "ori_shape": s.get("ori_shape"),
+            "img_shape": s.get("img_shape"),
+            "target": s.get("target"),
+        })
+
+    return {
+        "image": image,
+        "text_ids": text_ids,
+        "text_padding_mask": text_mask,
+        "img_shape": img_shape,
+        "scale_factor": scale_factor,
+        "gt_boxes": gt_boxes,
+        "gt_labels": gt_labels,
+        "gt_valid": gt_valid,
+        "batch_valid": np.asarray(
+            valid if valid is not None else [True] * b, bool
+        ),
+        "meta": meta,
+    }
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        canvas: int,
+        max_gt: int = 1,
+        shuffle: bool = True,
+        group_by_flag: bool = True,
+        drop_last: Optional[bool] = None,
+        num_workers: int = 8,
+        seed: int = 6666,
+        shard_id: int = 0,
+        num_shards: int = 1,
+    ):
+        self.ds = dataset
+        self.bs = batch_size
+        self.canvas = canvas
+        self.max_gt = max_gt
+        self.shuffle = shuffle
+        self.group_by_flag = group_by_flag and shuffle
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Epoch-seeded reshuffle (DistributedGroupSampler semantics)."""
+        self.epoch = epoch
+
+    def _index_batches(self) -> List[List[int]]:
+        n = len(self.ds)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        if not self.shuffle:
+            order = np.arange(n)
+        elif self.group_by_flag:
+            order = []
+            for flag in np.unique(self.ds.flag):
+                idx = np.flatnonzero(self.ds.flag == flag)
+                rng.shuffle(idx)
+                order.append(idx)
+            # round each group up to full batches by wrapping, like
+            # mmdet GroupSampler
+            chunks = []
+            for idx in order:
+                pad = (-len(idx)) % self.bs
+                if pad and not self.drop_last:
+                    idx = np.concatenate([idx, idx[:pad]])
+                for k in range(0, len(idx) - (len(idx) % self.bs),
+                               self.bs):
+                    chunks.append(idx[k:k + self.bs].tolist())
+                if not self.drop_last and len(idx) % self.bs:
+                    chunks.append(idx[-(len(idx) % self.bs):].tolist())
+            rng.shuffle(chunks)
+            batches = chunks
+        else:
+            order = np.arange(n)
+            rng.shuffle(order)
+            batches = [order[k:k + self.bs].tolist()
+                       for k in range(0, n, self.bs)]
+
+        if not self.shuffle:
+            batches = [np.arange(n)[k:k + self.bs].tolist()
+                       for k in range(0, n, self.bs)]
+
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.bs]
+        return batches[self.shard_id::self.num_shards]
+
+    def __len__(self):
+        return len(self._index_batches())
+
+    def __iter__(self) -> Iterator[Dict]:
+        batches = self._index_batches()
+
+        def make(idx_list):
+            valid = [True] * len(idx_list)
+            # static shapes: wrap-pad the final short batch
+            while len(idx_list) < self.bs:
+                idx_list = idx_list + idx_list[: self.bs - len(idx_list)]
+                valid = valid + [False] * (len(idx_list) - len(valid))
+            with ThreadPoolExecutor(self.num_workers) as ex:
+                samples = list(ex.map(self.ds.__getitem__, idx_list))
+            return collate(samples, self.canvas, self.max_gt, valid)
+
+        # double-buffer: build batch k+1 while k is consumed
+        from concurrent.futures import ThreadPoolExecutor as TPE
+
+        with TPE(1) as prefetcher:
+            fut = None
+            for k, idxs in enumerate(batches):
+                if fut is None:
+                    fut = prefetcher.submit(make, idxs)
+                cur = fut.result()
+                fut = (prefetcher.submit(make, batches[k + 1])
+                       if k + 1 < len(batches) else None)
+                yield cur

@@ -1,0 +1,205 @@
+"""Expression tokenisation.
+
+The reference supports four tokenizer modes (loading.py:264-273):
+``beit3`` (XLM-Roberta sentencepiece, the one every shipped config uses),
+``bert`` (HF BertTokenizer), ``default`` (dataset word vocab) and
+``copus`` (legacy).  We expose the same modes behind one interface:
+
+    tok = build_tokenizer("beit3", spm_path=...)   # HF XLM-R, needs asset
+    tok = build_tokenizer("simple", vocab=...)     # asset-free fallback
+    ids, padding_mask = tok.encode(expression, max_token)
+
+Semantics of ``encode`` follow ``_load_expression_tokenize_beit3``
+(loading.py:157-182): clean -> subword ids -> truncate to max_token-2 ->
+[BOS] + ids + [EOS] -> pad with PAD to max_token; padding_mask has
+1 = PAD (note the inverted convention vs HF attention_mask).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+_PUNCT = re.compile(r"([.,'!?\"()*#:;])")
+
+
+def clean_string(expression: str) -> str:
+    """Lowercase, strip punctuation, dash/slash -> space
+    (loading.py:14-19)."""
+    return (
+        _PUNCT.sub("", expression.lower())
+        .replace("-", " ")
+        .replace("/", " ")
+    )
+
+
+class _TokenizerBase:
+    bos_id: int
+    eos_id: int
+    pad_id: int
+
+    def tokenize_to_ids(self, text: str) -> Sequence[int]:
+        raise NotImplementedError
+
+    @property
+    def vocab_size(self) -> int:
+        raise NotImplementedError
+
+    def encode(self, expression: str, max_token: int
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        expression = clean_string(expression)
+        ids = list(self.tokenize_to_ids(expression))
+        if len(ids) == 0:
+            raise RuntimeError(
+                "The text segment should contains at least one tokens!"
+            )
+        if len(ids) > max_token - 2:
+            ids = ids[: max_token - 2]
+        ids = [self.bos_id] + ids + [self.eos_id]
+        n = len(ids)
+        padding_mask = [0] * n + [1] * (max_token - n)
+        ids = ids + [self.pad_id] * (max_token - n)
+        return (np.asarray(ids, np.int32),
+                np.asarray(padding_mask, np.int32))
+
+
+class XLMRobertaTokenizerWrapper(_TokenizerBase):
+    """The reference's beit3 tokenizer: XLM-R sentencepiece model
+    (``beit3.spm``), special ids bos=0, pad=1, eos=2, unk=3."""
+
+    def __init__(self, spm_path: str):
+        try:
+            from transformers import XLMRobertaTokenizer
+        except Exception as e:  # pragma: no cover
+            raise RuntimeError(
+                "transformers XLMRobertaTokenizer unavailable"
+            ) from e
+        self.tok = XLMRobertaTokenizer(spm_path)
+        self.bos_id = self.tok.bos_token_id
+        self.eos_id = self.tok.eos_token_id
+        self.pad_id = self.tok.pad_token_id
+
+    def tokenize_to_ids(self, text: str):
+        return self.tok.convert_tokens_to_ids(self.tok.tokenize(text))
+
+    @property
+    def vocab_size(self):
+        return self.tok.vocab_size
+
+
+class HFTokenizerWrapper(_TokenizerBase):
+    """"bert" mode (loading.py:126-155): any HF tokenizer by name/path."""
+
+    def __init__(self, name_or_path: str):
+        from transformers import AutoTokenizer
+
+        self.tok = AutoTokenizer.from_pretrained(name_or_path)
+        self.bos_id = self.tok.cls_token_id or self.tok.bos_token_id or 0
+        self.eos_id = self.tok.sep_token_id or self.tok.eos_token_id or 2
+        self.pad_id = self.tok.pad_token_id or 1
+
+    def tokenize_to_ids(self, text: str):
+        return self.tok.convert_tokens_to_ids(self.tok.tokenize(text))
+
+    @property
+    def vocab_size(self):
+        return self.tok.vocab_size
+
+
+class SimpleTokenizer(_TokenizerBase):
+    """Asset-free whitespace tokenizer with XLM-R-compatible special ids.
+
+    Used for tests/demos when no sentencepiece model is available.  Words
+    map into [num_special, vocab_size) either via a provided vocabulary
+    or a stable hash.
+    """
+
+    NUM_SPECIAL = 4  # bos, pad, eos, unk
+
+    def __init__(self, vocab: Optional[Dict[str, int]] = None,
+                 vocab_size: int = 64010):
+        self.bos_id, self.pad_id, self.eos_id, self.unk_id = 0, 1, 2, 3
+        self.vocab = vocab
+        self._vocab_size = vocab_size
+
+    def tokenize_to_ids(self, text: str):
+        out = []
+        for w in text.split():
+            if self.vocab is not None:
+                out.append(self.vocab.get(w, self.unk_id))
+            else:
+                h = 0
+                for ch in w:  # deterministic, python-hash-seed-free
+                    h = (h * 131 + ord(ch)) % (2 ** 31)
+                out.append(
+                    self.NUM_SPECIAL
+                    + h % (self._vocab_size - self.NUM_SPECIAL)
+                )
+        return out
+
+    @property
+    def vocab_size(self):
+        return self._vocab_size
+
+
+def build_word_vocab(anns_all: dict) -> Dict[str, int]:
+    """Word -> index vocabulary over every expression in the annotation
+    file, for the legacy "default" mode (datasets/utils.py:137-199):
+    PAD=0, UNK last."""
+    vocab = {"PAD": 0}
+    for split, anns in anns_all.items():
+        for ann in anns:
+            for expr in ann.get("expressions", []):
+                for w in clean_string(expr).split():
+                    if w not in vocab:
+                        vocab[w] = len(vocab)
+    vocab["UNK"] = len(vocab)
+    return vocab
+
+
+class WordTokenizer(_TokenizerBase):
+    """"default" mode (loading.py:105-124): word->idx, zero-padded, no
+    BOS/EOS.  encode() overridden because the framing differs."""
+
+    def __init__(self, token2idx: Dict[str, int]):
+        self.token2idx = token2idx
+        self.pad_id = 0
+        self.bos_id = self.eos_id = -1  # unused
+
+    @property
+    def vocab_size(self):
+        return len(self.token2idx)
+
+    def encode(self, expression: str, max_token: int):
+        expression = clean_string(expression)
+        ids = np.zeros(max_token, np.int32)
+        mask = np.ones(max_token, np.int32)
+        for i, w in enumerate(expression.split()):
+            if i >= max_token:
+                break
+            ids[i] = self.token2idx.get(w, self.token2idx["UNK"])
+            mask[i] = 0
+        return ids, mask
+
+
+def build_tokenizer(kind: str = "beit3", **kw) -> _TokenizerBase:
+    if kind == "beit3":
+        spm = kw.get("spm_path")
+        if spm:
+            try:
+                return XLMRobertaTokenizerWrapper(spm)
+            except Exception:
+                pass
+        # asset-free fallback keeps the full pipeline runnable
+        return SimpleTokenizer(vocab_size=kw.get("vocab_size", 64010))
+    if kind == "bert":
+        return HFTokenizerWrapper(kw.get("name_or_path",
+                                         "bert-base-uncased"))
+    if kind == "simple":
+        return SimpleTokenizer(vocab=kw.get("vocab"),
+                               vocab_size=kw.get("vocab_size", 64010))
+    if kind == "default":
+        return WordTokenizer(kw["token2idx"])
+    raise ValueError(f"unknown tokenizer kind {kind!r}")

@@ -1,0 +1,253 @@
+"""Host-side image transforms (numpy/cv2).
+
+Same observable behaviour as the reference pipeline ops
+(simvg/datasets/pipelines/transforms.py) without mmcv: cv2 bilinear
+resize, (img-mean)/std normalisation with BGR->RGB, pad-to-divisor /
+fixed / square, and LargeScaleJitter (random rescale in
+[jitter_min, jitter_max] with an IoU-constrained crop when upscaled).
+
+A sample is a plain dict flowing through callables; keys mirror the
+reference's result dict: img (HWC, BGR uint8 from cv2), ori_shape,
+img_shape, pad_shape, scale_factor, gt_bbox (xyxy float, [4] or [N,4]
+for GRefCOCO), with_bbox, expression, ref_expr_inds,
+text_attention_mask, ...
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+
+def _rescale_size(w: int, h: int, scale: float) -> Tuple[int, int]:
+    """mmcv rescale_size rounding: int(dim * scale + 0.5)."""
+    return int(w * scale + 0.5), int(h * scale + 0.5)
+
+
+def _imrescale(img: np.ndarray, scale: float) -> np.ndarray:
+    h, w = img.shape[:2]
+    nw, nh = _rescale_size(w, h, scale)
+    return cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+
+
+def _rescale_to_max(img: np.ndarray, max_size: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    scale = max_size / max(h, w)
+    return _imrescale(img, scale)
+
+
+class Resize:
+    """Resize image + boxes (transforms.py:9-122).  ``img_scale`` is
+    (w, h); keep_ratio rescales the long side."""
+
+    def __init__(self, img_scale: Tuple[int, int], keep_ratio: bool = False):
+        self.img_scale = img_scale
+        self.keep_ratio = keep_ratio
+
+    def __call__(self, s: dict) -> dict:
+        img = s["img"]
+        h, w = s["ori_shape"][:2]
+        if self.keep_ratio:
+            scale = min(self.img_scale[0] / w, self.img_scale[1] / h)
+            new_w, new_h = _rescale_size(w, h, scale)
+        else:
+            new_w, new_h = self.img_scale
+        img = cv2.resize(img, (new_w, new_h),
+                         interpolation=cv2.INTER_LINEAR)
+        w_scale, h_scale = new_w / w, new_h / h
+        sf = np.asarray([w_scale, h_scale, w_scale, h_scale], np.float32)
+        s["img"] = img
+        s["img_shape"] = img.shape
+        s["pad_shape"] = img.shape
+        s["scale_factor"] = sf
+        if s.get("with_bbox"):
+            gb = s["gt_bbox"]
+            if isinstance(gb, list):
+                s["gt_bbox"] = [b * sf for b in gb]
+            else:
+                s["gt_bbox"] = gb * sf
+        return s
+
+
+class Normalize:
+    """(img - mean) / std with BGR->RGB first (transforms.py:125-156)."""
+
+    def __init__(self, mean: Sequence[float], std: Sequence[float],
+                 to_rgb: bool = True):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_rgb = to_rgb
+
+    def __call__(self, s: dict) -> dict:
+        img = s["img"].astype(np.float32)
+        if self.to_rgb:
+            img = img[..., ::-1]
+        s["img"] = (img - self.mean) / self.std
+        s["img_norm_cfg"] = dict(mean=self.mean, std=self.std,
+                                 to_rgb=self.to_rgb)
+        return s
+
+
+class Pad:
+    """Bottom/right zero padding (transforms.py:159-223)."""
+
+    def __init__(self, size: Optional[Tuple[int, int]] = None,
+                 size_divisor: Optional[int] = None,
+                 pad_to_square: bool = False,
+                 pad_to_square_size: Tuple[int, int] = (640, 640),
+                 pad_val: float = 0.0):
+        self.size = size
+        self.size_divisor = size_divisor
+        self.pad_to_square = pad_to_square
+        self.pad_to_square_size = pad_to_square_size
+        self.pad_val = pad_val
+
+    def __call__(self, s: dict) -> dict:
+        img = s["img"]
+        h, w = img.shape[:2]
+        if self.pad_to_square:
+            th, tw = self.pad_to_square_size
+        elif self.size is not None:
+            th, tw = self.size
+        else:
+            d = self.size_divisor
+            th, tw = ((h + d - 1) // d) * d, ((w + d - 1) // d) * d
+        out = np.full((th, tw) + img.shape[2:], self.pad_val, img.dtype)
+        out[:h, :w] = img
+        s["img"] = out
+        s["pad_shape"] = out.shape
+        return s
+
+
+class LargeScaleJitter:
+    """Scale jitter in [jitter_min, jitter_max] of the keep-ratio fit to
+    out_max_size; when upscaled (>1.0), take an IoU-constrained random
+    crop of the fit size (transforms.py:226-342).
+
+    Uses a local random.Random so per-worker seeding is deterministic.
+    """
+
+    def __init__(self, out_max_size: int = 640, jitter_min: float = 0.3,
+                 jitter_max: float = 1.4, min_iou_thr: float = 0.3,
+                 crop_iou_thr: Sequence[float] = (0.5, 0.6, 0.7, 0.8, 0.9),
+                 jitter_times: int = 100,
+                 rng: Optional[random.Random] = None):
+        self.out_max_size = out_max_size
+        self.jitter_min = jitter_min
+        self.jitter_max = jitter_max
+        self.min_iou_thr = min_iou_thr
+        self.crop_iou_thr = tuple(crop_iou_thr)
+        self.jitter_times = jitter_times
+        self.rng = rng or random
+
+    @staticmethod
+    def _crop_cover(crop: np.ndarray, gt: np.ndarray) -> float:
+        """Fraction of gt covered by crop (transforms.py:238-244)."""
+        lt = np.maximum(crop[:2], gt[:2])
+        rb = np.minimum(crop[2:], gt[2:])
+        wh = rb - lt
+        overlap = wh[0] * wh[1]
+        area = (gt[2] - gt[0]) * (gt[3] - gt[1])
+        return float(overlap / max(area, 1e-12))
+
+    def __call__(self, s: dict) -> dict:
+        img = s["img"]
+        h, w = s["ori_shape"][:2]
+        rand_scale = (self.jitter_min + self.rng.random()
+                      * (self.jitter_max - self.jitter_min))
+        fit_scale = self.out_max_size / max(h, w)
+        img = _imrescale(img, rand_scale * fit_scale)
+        new_h, new_w = img.shape[:2]
+
+        gt_bbox = s.get("gt_bbox")
+        multi = isinstance(gt_bbox, list)
+        factor = np.asarray(
+            [new_w / w, new_h / h, new_w / w, new_h / h], np.float64
+        )
+        if s.get("with_bbox"):
+            if multi:
+                gt_bbox = [b * factor for b in gt_bbox]
+            else:
+                gt_bbox = gt_bbox * factor
+
+        if rand_scale > 1.0:
+            w_out, h_out = _rescale_size(w, h, fit_scale)
+            ref_box = gt_bbox[0] if multi else gt_bbox
+            flag, best_idx, best_iou, history = False, -1, 0.0, []
+            offset = (0.0, 0.0)
+            for i, iou_thr in enumerate(self.crop_iou_thr[::-1]):
+                if flag:
+                    break
+                for it in range(self.jitter_times):
+                    offset = (self.rng.random() * (new_w - w_out),
+                              self.rng.random() * (new_h - h_out))
+                    crop = np.asarray(
+                        [offset[0], offset[1], offset[0] + w_out,
+                         offset[1] + h_out]
+                    )
+                    iou = self._crop_cover(crop, ref_box)
+                    history.append((crop, offset))
+                    if iou > best_iou:
+                        best_iou = iou
+                        best_idx = len(history) - 1
+                    if iou >= iou_thr:
+                        flag = True
+                        break
+            if not flag:
+                if best_iou < self.min_iou_thr:
+                    # give up: keep the downscaled-only image
+                    s["img"] = img
+                    s["img_shape"] = img.shape
+                    s["pad_shape"] = img.shape
+                    s["scale_factor"] = np.asarray([1.0] * 4, np.float32)
+                    if s.get("with_bbox"):
+                        s["gt_bbox"] = self._clip(gt_bbox, new_w, new_h,
+                                                  multi)
+                    return s
+                crop, offset = history[best_idx]
+            crop = crop.astype(np.uint32)
+            img = img[crop[1]:crop[3], crop[0]:crop[2]]
+            new_h, new_w = img.shape[:2]
+            shift = np.asarray(
+                [offset[0], offset[1], offset[0], offset[1]]
+            )
+            if s.get("with_bbox"):
+                if multi:
+                    gt_bbox = [b - shift for b in gt_bbox]
+                else:
+                    gt_bbox = gt_bbox - shift
+
+        if s.get("with_bbox"):
+            s["gt_bbox"] = self._clip(gt_bbox, new_w, new_h, multi)
+        s["img"] = img
+        s["img_shape"] = img.shape
+        s["pad_shape"] = img.shape
+        s["scale_factor"] = np.asarray(
+            [new_w / w, new_h / h, new_w / w, new_h / h], np.float32
+        )
+        return s
+
+    @staticmethod
+    def _clip(gt_bbox, w, h, multi):
+        def clip_one(b):
+            b = b.copy()
+            b[0::2] = np.clip(b[0::2], 0, w - 1)
+            b[1::2] = np.clip(b[1::2], 0, h - 1)
+            return b
+
+        return [clip_one(b) for b in gt_bbox] if multi else clip_one(
+            gt_bbox
+        )
+
+
+class Compose:
+    def __init__(self, transforms: Sequence):
+        self.transforms = list(transforms)
+
+    def __call__(self, s: dict) -> dict:
+        for t in self.transforms:
+            s = t(s)
+        return s

@@ -58,6 +58,7 @@ def make_train_step(
     branch_loss_weight: Dict,
     prepare_target_mode: str = "score_iou_weighted",
     distill_type: str = "hard_weighted",
+    mlp_aux_loss: bool = False,
     ema_alpha: Optional[float] = None,
     dp_size: int = 1,
     with_metrics: bool = True,
@@ -87,6 +88,7 @@ def make_train_step(
                 branch_loss_weight=branch_loss_weight,
                 prepare_target_mode=prepare_target_mode,
                 distill_type=distill_type,
+                mlp_aux_loss=mlp_aux_loss,
                 dp_size=dp_size,
             )
             return losses["loss_total"], (losses, out)

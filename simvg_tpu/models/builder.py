@@ -1,0 +1,82 @@
+"""Model construction from reference-style config dicts.
+
+Accepts the same ``model = dict(type="MIXDETRMB", vis_enc=..., head=...)``
+key surface as the reference configs (configs/single/ViT-base/refcoco/
+refcoco_onestage.py:68-105; builders at simvg/models/builder.py:1-36) and
+produces the flax SimVGModel plus the loss-orchestration settings the
+train step needs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+
+from .beit3 import BEiT3Config
+from .heads.tgqs_head import TGQSHeadConfig
+from .model import SimVGConfig, SimVGModel
+
+
+def build_model(model_cfg: Dict[str, Any], *, img_size: int = 640,
+                dtype=jnp.float32) -> Tuple[SimVGModel, Dict[str, Any]]:
+    """Returns (model, loss_cfg)."""
+    assert model_cfg.get("type", "MIXDETRMB") in ("MIXDETRMB",), (
+        model_cfg.get("type")
+    )
+    ve = dict(model_cfg.get("vis_enc", {}))
+    head = dict(model_cfg.get("head", {}))
+
+    vit_type = ve.get("vit_type", "base")
+    common = dict(
+        img_size=ve.get("img_size", img_size),
+        patch_size=ve.get("patch_size", 32),
+        vocab_size=ve.get("vocab_size", 64010),
+        drop_path_rate=ve.get("drop_path_rate", 0.1),
+        dtype=dtype,
+    )
+    extra = {
+        k: ve[k]
+        for k in ("embed_dim", "num_heads", "ffn_dim", "num_layers")
+        if k in ve
+    }  # non-reference extension: tiny encoders for smoke/CI runs
+    if extra:
+        beit3 = BEiT3Config(**common, **extra)
+    else:
+        mk = BEiT3Config.base if vit_type == "base" else BEiT3Config.large
+        beit3 = mk(**common)
+
+    head_cfg = TGQSHeadConfig(
+        num_queries=head.get("num_queries", 1),
+        in_channels=head.get("in_channels", beit3.embed_dim),
+        embed_dim=head.get("embed_dim", 256),
+        num_classes=head.get("num_classes", 1),
+        text_max_token=head.get("text_max_token", 20),
+        num_encoder_layers=head.get("num_encoder_layers", 6),
+        num_decoder_layers=head.get("num_decoder_layers", 3),
+        num_tgqg_layers=head.get("num_tgqg_layers", 1),
+        only_decoder=head.get("only_decoder", True),
+        num_token_mlp_layers=head.get("num_token_mlp_layers", 1),
+        text_guided_query_generation=head.get(
+            "text_guided_query_generation", True
+        ),
+        tgqs_mid_dim=head.get("tgqs_mid_dim", 512),
+        dtype=dtype,
+    )
+
+    model = SimVGModel(SimVGConfig(beit3=beit3, head=head_cfg))
+
+    loss_cfg = {
+        "branch_loss_weight": dict(head.get(
+            "branch_loss_weight",
+            {"decoder": 1.0,
+             "balanced_distill": {"token": 2.0, "distill": 1.0}},
+        )),
+        "prepare_target_mode": head.get("prepare_target_mode",
+                                        "score_iou_weighted"),
+        "distill_type": head.get("distill_type", "hard_weighted"),
+        "mlp_aux_loss": head.get("mlp_aux_loss", False),
+        "freeze_layer": ve.get("freeze_layer", -1),
+        "pretrain": ve.get("pretrain", None),
+    }
+    return model, loss_cfg

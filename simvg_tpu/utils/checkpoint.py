@@ -1,0 +1,95 @@
+"""Checkpoint save/load with the reference's three load modes.
+
+Reference (simvg/utils/checkpoint.py:54-150): torch.save dict
+{state_dict, ema_state_dict, optimizer, scheduler, lr, epoch, metrics}
+as latest.pth / det_best.pth / epoch_N.pth; load modes:
+  --resume-from   full state + epoch counter
+  --load-from     weights (+EMA) only
+  --finetune-from weights non-strict (missing/unexpected keys logged)
+
+TPU-native: each component (params / opt_state / ema_params) is its own
+orbax item under the checkpoint directory, so partial restores (weights
+only) never need the full optimizer tree; a JSON sidecar carries scalars
+(epoch, metrics).
+"""
+
+from __future__ import annotations
+
+import json
+import os.path as osp
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    work_dir: str,
+    name: str,
+    *,
+    params,
+    opt_state=None,
+    ema_params=None,
+    epoch: int = 0,
+    metrics: Optional[Dict[str, float]] = None,
+) -> str:
+    path = osp.abspath(osp.join(work_dir, name))
+    if osp.exists(path):
+        shutil.rmtree(path)
+    ckptr = ocp.StandardCheckpointer()
+    items = {"params": params}
+    if opt_state is not None:
+        items["opt_state"] = opt_state
+    if ema_params is not None:
+        items["ema_params"] = ema_params
+    for key, tree in items.items():
+        ckptr.save(osp.join(path, key), _to_host(tree))
+    ckptr.wait_until_finished()
+    with open(osp.join(path, "meta.json"), "w") as f:
+        json.dump({"epoch": epoch, "metrics": metrics or {},
+                   "items": sorted(items)}, f)
+    return path
+
+
+def load_checkpoint(
+    path: str,
+    *,
+    params_template=None,
+    opt_state_template=None,
+    with_opt: bool = False,
+    with_ema: bool = False,
+) -> Dict[str, Any]:
+    """Returns {"params", ["opt_state"], ["ema_params"], "epoch",
+    "metrics"}.  Templates restore exact dtypes/shapes."""
+    path = osp.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+
+    out: Dict[str, Any] = {}
+    tmpl = _to_host(params_template) if params_template is not None \
+        else None
+    out["params"] = ckptr.restore(osp.join(path, "params"), tmpl)
+    if with_opt and osp.isdir(osp.join(path, "opt_state")):
+        ot = (_to_host(opt_state_template)
+              if opt_state_template is not None else None)
+        out["opt_state"] = ckptr.restore(osp.join(path, "opt_state"), ot)
+    if with_ema and osp.isdir(osp.join(path, "ema_params")):
+        out["ema_params"] = ckptr.restore(osp.join(path, "ema_params"),
+                                          tmpl)
+    meta_path = osp.join(path, "meta.json")
+    meta = {"epoch": 0, "metrics": {}}
+    if osp.exists(meta_path):
+        meta = json.load(open(meta_path))
+    out["epoch"] = meta.get("epoch", 0)
+    out["metrics"] = meta.get("metrics", {})
+    return out
+
+
+def latest_checkpoint(work_dir: str) -> Optional[str]:
+    p = osp.join(work_dir, "latest")
+    return p if osp.isdir(p) else None

@@ -27,3 +27,9 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.devices()
+
+import sys as _sys
+from pathlib import Path as _Path
+
+# make tests/ importable as top-level modules (util_synth fixtures)
+_sys.path.insert(0, str(_Path(__file__).parent))

@@ -1,0 +1,186 @@
+import numpy as np
+import pytest
+
+from simvg_tpu.data import build_dataset, DataLoader
+from simvg_tpu.data.tokenization import (
+    SimpleTokenizer,
+    build_word_vocab,
+    build_tokenizer,
+    clean_string,
+)
+from simvg_tpu.data.transforms import (
+    Compose,
+    LargeScaleJitter,
+    Normalize,
+    Pad,
+    Resize,
+)
+from util_synth import make_grefcoco_style, make_refcoco_style
+
+
+def test_clean_string():
+    assert clean_string("The Man's red-hat, on/off!") == (
+        "the mans red hat on off"
+    )
+
+
+def test_simple_tokenizer_framing():
+    tok = SimpleTokenizer(vocab_size=1000)
+    ids, mask = tok.encode("a green box", 8)
+    assert ids.shape == (8,) and mask.shape == (8,)
+    assert ids[0] == tok.bos_id
+    assert ids[4] == tok.eos_id  # bos + 3 words + eos
+    assert (ids[5:] == tok.pad_id).all()
+    assert mask.tolist() == [0, 0, 0, 0, 0, 1, 1, 1]
+    # truncation to max_token-2
+    ids2, mask2 = tok.encode("one two three four five six seven", 5)
+    assert ids2[0] == tok.bos_id and ids2[4] == tok.eos_id
+    assert mask2.sum() == 0
+
+
+def test_word_vocab_tokenizer():
+    anns = {"train": [{"expressions": ["red dog", "blue cat"]}]}
+    vocab = build_word_vocab(anns)
+    tok = build_tokenizer("default", token2idx=vocab)
+    ids, mask = tok.encode("red cat zebra", 4)
+    assert ids[0] == vocab["red"]
+    assert ids[1] == vocab["cat"]
+    assert ids[2] == vocab["UNK"]
+    assert mask.tolist() == [0, 0, 0, 1]
+
+
+def _sample(img_hw=(100, 150), bbox=(10, 20, 60, 80)):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (*img_hw, 3), np.uint8)
+    return {
+        "img": img,
+        "ori_shape": img.shape,
+        "img_shape": img.shape,
+        "pad_shape": img.shape,
+        "with_bbox": True,
+        "with_mask": False,
+        "gt_bbox": np.asarray(bbox, np.float64),
+        "scale_factor": np.ones(4, np.float32),
+    }
+
+
+def test_resize_exact():
+    s = Resize((64, 32), keep_ratio=False)(_sample())
+    assert s["img"].shape[:2] == (32, 64)
+    # bbox scaled by (64/150, 32/100)
+    np.testing.assert_allclose(
+        s["gt_bbox"],
+        [10 * 64 / 150, 20 * 32 / 100, 60 * 64 / 150, 80 * 32 / 100],
+        rtol=1e-6,
+    )
+
+
+def test_normalize_bgr_to_rgb():
+    s = _sample()
+    img_bgr = s["img"].copy()
+    out = Normalize(mean=[1.0, 2.0, 3.0], std=[2.0, 2.0, 2.0])(s)
+    # channel 0 of output should be (R - 1)/2 = (bgr[...,2]-1)/2
+    np.testing.assert_allclose(
+        out["img"][..., 0], (img_bgr[..., 2].astype(np.float32) - 1) / 2
+    )
+
+
+def test_pad_divisor():
+    s = Resize((50, 30), keep_ratio=False)(_sample())
+    s = Pad(size_divisor=32)(s)
+    assert s["img"].shape[:2] == (32, 64)
+    assert s["img_shape"][:2] == (30, 50)  # valid extent preserved
+
+
+def test_lsj_bbox_stays_in_bounds():
+    import random
+
+    for seed in range(5):
+        s = _sample()
+        t = LargeScaleJitter(out_max_size=64, rng=random.Random(seed))
+        out = t(s)
+        h, w = out["img"].shape[:2]
+        b = out["gt_bbox"]
+        assert 0 <= b[0] <= b[2] <= w
+        assert 0 <= b[1] <= b[3] <= h
+        assert max(h, w) <= int(64 * 1.4) + 2
+
+
+def test_refcoco_dataset_and_loader(tmp_path):
+    imgdir, annfile = make_refcoco_style(str(tmp_path))
+    pipeline = [
+        Resize((64, 64), keep_ratio=False),
+        Normalize(mean=[123.675, 116.28, 103.53],
+                  std=[58.395, 57.12, 57.375]),
+        Pad(size_divisor=32),
+    ]
+    ds = build_dataset(
+        "RefCOCOUNC", imgsfile=imgdir, annsfile=annfile,
+        which_set="train", max_token=10,
+        use_token_type="beit3", transforms=pipeline,
+    )
+    assert len(ds) == 8
+    s = ds[0]
+    assert s["img"].shape == (64, 64, 3)
+    assert s["ref_expr_inds"].shape == (10,)
+
+    dl = DataLoader(ds, batch_size=4, canvas=64, max_gt=1, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["image"].shape == (4, 64, 64, 3)
+    assert b["gt_boxes"].shape == (4, 1, 4)
+    assert b["gt_valid"].all()
+    assert b["text_ids"].shape == (4, 10)
+    assert len(b["meta"]) == 4
+    # epoch reshuffle changes batch composition
+    dl.set_epoch(1)
+    b2 = next(iter(dl))
+    assert (b2["text_ids"] != b["text_ids"]).any() or (
+        [m["filename"] for m in b2["meta"]]
+        != [m["filename"] for m in b["meta"]]
+    )
+
+
+def test_grefcoco_dataset(tmp_path):
+    imgdir, annfile = make_grefcoco_style(str(tmp_path))
+    pipeline = [
+        Resize((64, 64), keep_ratio=False),
+        Normalize(mean=[0, 0, 0], std=[1, 1, 1]),
+        Pad(size_divisor=32),
+    ]
+    ds = build_dataset(
+        "GRefCOCO", imgsfile=imgdir, annsfile=annfile, which_set="val",
+        max_token=10, use_token_type="beit3", transforms=pipeline,
+    )
+    dl = DataLoader(ds, batch_size=6, canvas=64, max_gt=4, shuffle=False,
+                    num_workers=2)
+    b = next(iter(dl))
+    # no-target sample: label 1, valid True (kept as a target with the
+    # no-object class, tgqs_kd_detr_head.py:199-204)
+    no_t = [i for i, m in enumerate(b["meta"])
+            if m["target"][0]["category_id"] == -1]
+    assert no_t, "synthetic set should contain a no-target sample"
+    i = no_t[0]
+    assert b["gt_labels"][i, 0] == 1
+    assert b["gt_valid"][i, 0]
+    multi = [i for i, m in enumerate(b["meta"]) if len(m["target"]) == 2]
+    assert multi
+    assert b["gt_valid"][multi[0]].sum() == 2
+
+
+def test_eval_loader_pads_final_batch(tmp_path):
+    imgdir, annfile = make_refcoco_style(str(tmp_path))
+    ds = build_dataset(
+        "RefCOCOUNC", imgsfile=imgdir, annsfile=annfile, which_set="val",
+        max_token=10, use_token_type="beit3",
+        transforms=[Resize((64, 64), keep_ratio=False),
+                    Normalize([0, 0, 0], [1, 1, 1]), Pad(size_divisor=32)],
+    )
+    dl = DataLoader(ds, batch_size=3, canvas=64, shuffle=False,
+                    drop_last=False, num_workers=1)
+    batches = list(dl)
+    assert len(batches) == 2
+    last = batches[-1]
+    assert last["image"].shape[0] == 3  # static shape kept
+    assert last["batch_valid"].tolist() == [True, False, False]

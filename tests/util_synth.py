@@ -1,0 +1,81 @@
+"""Synthetic dataset fixtures in the reference's instances.json schema."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+
+
+def make_refcoco_style(root, n_train=8, n_val=4, img_hw=(120, 160)):
+    """RefCOCOUNC-style dataset: single box per expression."""
+    imgdir = os.path.join(root, "images")
+    os.makedirs(imgdir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    anns = {"train": [], "val": []}
+    for split, n in (("train", n_train), ("val", n_val)):
+        for i in range(n):
+            image_id = (0 if split == "train" else 1000) + i
+            h, w = img_hw
+            img = rng.integers(0, 255, (h, w, 3), np.uint8)
+            x, y = rng.integers(5, w // 2), rng.integers(5, h // 2)
+            bw, bh = rng.integers(10, w // 2), rng.integers(10, h // 2)
+            cv2.rectangle(img, (int(x), int(y)),
+                          (int(x + bw), int(y + bh)), (0, 255, 0), -1)
+            cv2.imwrite(
+                os.path.join(imgdir,
+                             "COCO_train2014_%012d.jpg" % image_id), img
+            )
+            anns[split].append({
+                "image_id": int(image_id),
+                "height": h,
+                "width": w,
+                "bbox": [int(x), int(y), int(bw), int(bh)],  # xywh
+                "expressions": ["the green box", "green rectangle area"],
+            })
+    path = os.path.join(root, "instances.json")
+    json.dump(anns, open(path, "w"))
+    return imgdir, path
+
+
+def make_grefcoco_style(root, n=6, img_hw=(96, 128)):
+    """GRefCOCO-style: multi-target and no-target expressions."""
+    imgdir = os.path.join(root, "images")
+    os.makedirs(imgdir, exist_ok=True)
+    rng = np.random.default_rng(1)
+    anns = {"train": [], "val": []}
+    for split in ("train", "val"):
+        for i in range(n):
+            image_id = (2000 if split == "train" else 3000) + i
+            h, w = img_hw
+            img = rng.integers(0, 255, (h, w, 3), np.uint8)
+            cv2.imwrite(
+                os.path.join(imgdir,
+                             "COCO_train2014_%012d.jpg" % image_id), img
+            )
+            if i % 3 == 2:  # no-target expression
+                bbox = [[[0, 0, 0, 0]]]
+                annotations = [[{"category_id": -1}]]
+            else:
+                k = 1 + i % 2
+                boxes = []
+                targets = []
+                for _ in range(k):
+                    x, y = int(rng.integers(0, w // 2)), int(
+                        rng.integers(0, h // 2))
+                    boxes.append([x, y, int(rng.integers(8, w // 2)),
+                                  int(rng.integers(8, h // 2))])
+                    targets.append({"category_id": 1})
+                bbox = [boxes]
+                annotations = [targets]
+            anns[split].append({
+                "image_id": int(image_id),
+                "height": h,
+                "width": w,
+                "bbox": bbox,  # [expr][target][xywh]
+                "expressions": ["some things maybe"],
+                "annotations": annotations,
+            })
+    path = os.path.join(root, "instances.json")
+    json.dump(anns, open(path, "w"))
+    return imgdir, path

@@ -1,0 +1,392 @@
+#!/usr/bin/env python
+"""Convert reference PyTorch checkpoints to simvg_tpu flax params.
+
+Handles two checkpoint families:
+
+1. **BEiT-3 pretrain** (microsoft/unilm releases, loaded by the
+   reference at simvg/models/vis_encs/beit/beit3.py:92-174): keys
+   ``beit3.encoder.layers.N...`` with multiway A/B submodules.  Includes
+   the positional-embedding bicubic interpolation (224-grid -> target
+   grid; beit3.py:115-159) and the patch-projection interpolation
+   (16x16 -> 32x32 kernel; beit3.py:161-172), done with torch so the
+   resampling math is bit-identical.
+
+2. **Full SimVG checkpoints** (reference ``latest.pth``/``det_best.pth``,
+   saved by simvg/utils/checkpoint.py:120-150): ``vis_enc.beit3...`` +
+   ``head...`` keys including the detrex transformer layers (packed
+   ``in_proj_weight`` split into q/k/v).
+
+Conventions: torch Linear weight [out, in] -> flax kernel [in, out];
+torch Conv2d [out, in, kh, kw] -> flax [kh, kw, in, out]; LayerNorm
+weight -> scale.
+
+CLI:
+    python tools/convert_checkpoint.py IN.pth OUT_DIR \
+        [--img-size 640 --patch-size 32 --vit base]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+from typing import Dict
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+# --------------------------------------------------------------- helpers
+
+def _t(w):  # torch Linear weight -> flax kernel
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _set(params: Dict, path: str, value: np.ndarray, report: list):
+    node = params["params"]
+    parts = [p for p in path.split("/") if p]
+    for p in parts[:-1]:
+        node = node[p]
+    old = node[parts[-1]]
+    if tuple(old.shape) != tuple(value.shape):
+        raise ValueError(
+            f"shape mismatch at {path}: {old.shape} vs {value.shape}"
+        )
+    node[parts[-1]] = value.astype(np.asarray(old).dtype)
+    report.append(path)
+
+
+def interpolate_pos_embed(weight: np.ndarray, target_len: int,
+                          num_extra: int = 3) -> np.ndarray:
+    """Bicubic grid interpolation of the torchscale vision positional
+    table (first ``num_extra`` rows = [pad offset x2, CLS] kept as-is),
+    matching beit3.py:115-159."""
+    import torch
+    import torch.nn.functional as F
+
+    if weight.shape[0] == target_len:
+        return weight
+    extra = weight[:num_extra]
+    pos = weight[num_extra:]
+    orig = int(round(len(pos) ** 0.5))
+    new = int(round((target_len - num_extra) ** 0.5))
+    assert orig * orig == len(pos), (len(pos), orig)
+    assert new * new == target_len - num_extra
+    t = torch.from_numpy(
+        np.ascontiguousarray(pos)
+    ).float().reshape(1, orig, orig, -1).permute(0, 3, 1, 2)
+    t = F.interpolate(t, size=(new, new), mode="bicubic",
+                      align_corners=False)
+    t = t.permute(0, 2, 3, 1).reshape(new * new, -1).numpy()
+    return np.concatenate([extra, t], axis=0)
+
+
+def interpolate_patch_proj(weight: np.ndarray, target_hw) -> np.ndarray:
+    """Bicubic resize of the conv patchify kernel (torch layout
+    [out, in, kh, kw]), matching beit3.py:161-172."""
+    import torch
+    import torch.nn.functional as F
+
+    if tuple(weight.shape[-2:]) == tuple(target_hw):
+        return weight
+    t = torch.from_numpy(np.ascontiguousarray(weight)).float()
+    t = F.interpolate(t, size=tuple(target_hw), mode="bicubic",
+                      align_corners=False)
+    return t.numpy()
+
+
+# ------------------------------------------------- beit3 encoder mapping
+
+def convert_beit3_encoder(sd: Dict[str, np.ndarray], params: Dict,
+                          prefix: str = "beit3.",
+                          out_prefix: str = "beit3",
+                          logger=None) -> list:
+    """Map ``{prefix}...`` torch keys into params['params'][out_prefix]
+    (empty out_prefix = encoder params at the root)."""
+    report: list = []
+    tgt = params["params"][out_prefix] if out_prefix else params["params"]
+
+    def grab(k):
+        return np.asarray(sd[prefix + k])
+
+    n_pos_target = tgt["vision_pos_embed"]["embedding"].shape[0]
+    vis_pos = grab("encoder.embed_positions.A.weight")
+    vis_pos = interpolate_pos_embed(vis_pos, n_pos_target)
+    _set(params, f"{out_prefix}/vision_pos_embed/embedding", vis_pos,
+         report)
+    _set(params, f"{out_prefix}/text_pos_embed/embedding",
+         grab("encoder.embed_positions.B.weight"), report)
+    _set(params, f"{out_prefix}/text_embed/embedding",
+         grab("text_embed.weight"), report)
+
+    proj_w = grab("vision_embed.proj.weight")
+    k_target = tgt["vision_embed"]["proj"]["kernel"]
+    proj_w = interpolate_patch_proj(
+        proj_w, (k_target.shape[0], k_target.shape[1])
+    )
+    _set(params, f"{out_prefix}/vision_embed/proj/kernel",
+         np.transpose(proj_w, (2, 3, 1, 0)), report)
+    _set(params, f"{out_prefix}/vision_embed/proj/bias",
+         grab("vision_embed.proj.bias"), report)
+    _set(params, f"{out_prefix}/vision_embed/cls_token",
+         grab("vision_embed.cls_token"), report)
+    if prefix + "vision_embed.mask_token" in sd:
+        _set(params, f"{out_prefix}/vision_embed/mask_token",
+             grab("vision_embed.mask_token"), report)
+
+    n_layers = len([k for k in tgt if k.startswith("layers_")])
+    for i in range(n_layers):
+        src = f"encoder.layers.{i}."
+        dst = f"{out_prefix}/layers_{i}"
+        for ab in ("A", "B"):
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                _set(params, f"{dst}/self_attn/{proj}_{ab}/kernel",
+                     _t(grab(f"{src}self_attn.{proj}.{ab}.weight")),
+                     report)
+                _set(params, f"{dst}/self_attn/{proj}_{ab}/bias",
+                     grab(f"{src}self_attn.{proj}.{ab}.bias"), report)
+            _set(params, f"{dst}/self_attn/inner_attn_ln_{ab}/scale",
+                 grab(f"{src}self_attn.inner_attn_ln.{ab}.weight"),
+                 report)
+            _set(params, f"{dst}/self_attn/inner_attn_ln_{ab}/bias",
+                 grab(f"{src}self_attn.inner_attn_ln.{ab}.bias"), report)
+            _set(params, f"{dst}/self_attn_layer_norm_{ab}/scale",
+                 grab(f"{src}self_attn_layer_norm.{ab}.weight"), report)
+            _set(params, f"{dst}/self_attn_layer_norm_{ab}/bias",
+                 grab(f"{src}self_attn_layer_norm.{ab}.bias"), report)
+            _set(params, f"{dst}/ffn/fc1_{ab}/kernel",
+                 _t(grab(f"{src}ffn.{ab}.fc1.weight")), report)
+            _set(params, f"{dst}/ffn/fc1_{ab}/bias",
+                 grab(f"{src}ffn.{ab}.fc1.bias"), report)
+            _set(params, f"{dst}/ffn/fc2_{ab}/kernel",
+                 _t(grab(f"{src}ffn.{ab}.fc2.weight")), report)
+            _set(params, f"{dst}/ffn/fc2_{ab}/bias",
+                 grab(f"{src}ffn.{ab}.fc2.bias"), report)
+            _set(params, f"{dst}/ffn/ffn_layernorm_{ab}/scale",
+                 grab(f"{src}ffn.{ab}.ffn_layernorm.weight"), report)
+            _set(params, f"{dst}/ffn/ffn_layernorm_{ab}/bias",
+                 grab(f"{src}ffn.{ab}.ffn_layernorm.bias"), report)
+            _set(params, f"{dst}/final_layer_norm_{ab}/scale",
+                 grab(f"{src}final_layer_norm.{ab}.weight"), report)
+            _set(params, f"{dst}/final_layer_norm_{ab}/bias",
+                 grab(f"{src}final_layer_norm.{ab}.bias"), report)
+
+    for ab in ("A", "B"):
+        _set(params, f"{out_prefix}/layer_norm_{ab}/scale",
+             grab(f"encoder.layer_norm.{ab}.weight"), report)
+        _set(params, f"{out_prefix}/layer_norm_{ab}/bias",
+             grab(f"encoder.layer_norm.{ab}.bias"), report)
+
+    if logger:
+        logger.info(f"converted {len(report)} beit3 tensors")
+    return report
+
+
+# ----------------------------------------------- detrex layers + head
+
+def _convert_detr_layer(sd, params, src: str, dst: str, report,
+                        has_cross: bool):
+    """One detrex BaseTransformerLayer: attentions.N.attn
+    (packed in_proj) + ffns.0.layers + norms.N."""
+    attn_names = (["self_attn", "cross_attn"] if has_cross
+                  else ["self_attn"])
+    for n, name in enumerate(attn_names):
+        w = np.asarray(sd[f"{src}attentions.{n}.attn.in_proj_weight"])
+        b = np.asarray(sd[f"{src}attentions.{n}.attn.in_proj_bias"])
+        d = w.shape[1]
+        for j, proj in enumerate(("q_proj", "k_proj", "v_proj")):
+            _set(params, f"{dst}/{name}/{proj}/kernel",
+                 _t(w[j * d:(j + 1) * d]), report)
+            _set(params, f"{dst}/{name}/{proj}/bias",
+                 b[j * d:(j + 1) * d], report)
+        _set(params, f"{dst}/{name}/out_proj/kernel",
+             _t(sd[f"{src}attentions.{n}.attn.out_proj.weight"]), report)
+        _set(params, f"{dst}/{name}/out_proj/bias",
+             np.asarray(sd[f"{src}attentions.{n}.attn.out_proj.bias"]),
+             report)
+    _set(params, f"{dst}/ffn/fc1/kernel",
+         _t(sd[f"{src}ffns.0.layers.0.0.weight"]), report)
+    _set(params, f"{dst}/ffn/fc1/bias",
+         np.asarray(sd[f"{src}ffns.0.layers.0.0.bias"]), report)
+    _set(params, f"{dst}/ffn/fc2/kernel",
+         _t(sd[f"{src}ffns.0.layers.1.weight"]), report)
+    _set(params, f"{dst}/ffn/fc2/bias",
+         np.asarray(sd[f"{src}ffns.0.layers.1.bias"]), report)
+    n_norms = 3 if has_cross else 2
+    for n in range(n_norms):
+        _set(params, f"{dst}/norm{n + 1}/scale",
+             np.asarray(sd[f"{src}norms.{n}.weight"]), report)
+        _set(params, f"{dst}/norm{n + 1}/bias",
+             np.asarray(sd[f"{src}norms.{n}.bias"]), report)
+
+
+def _convert_mlp(sd, params, src: str, dst: str, report, n_layers: int):
+    for i in range(n_layers):
+        _set(params, f"{dst}/layers_{i}/kernel",
+             _t(sd[f"{src}layers.{i}.weight"]), report)
+        _set(params, f"{dst}/layers_{i}/bias",
+             np.asarray(sd[f"{src}layers.{i}.bias"]), report)
+
+
+def convert_simvg_full(sd: Dict[str, np.ndarray], params: Dict,
+                       logger=None) -> list:
+    """Full reference checkpoint: vis_enc.beit3.* + head.*."""
+    report = convert_beit3_encoder(sd, params, prefix="vis_enc.beit3.",
+                                   out_prefix="beit3", logger=logger)
+    head = params["params"]["head"]
+
+    # input projections (Conv1x1 -> dense)
+    w = np.asarray(sd["head.input_proj.weight"])  # [256, C, 1, 1]
+    hp = {"params": {"head": head}}
+    _set(hp, "head/input_proj/kernel", _t(w[:, :, 0, 0]), report)
+    _set(hp, "head/input_proj/bias",
+         np.asarray(sd["head.input_proj.bias"]), report)
+    for name in ("input_text_proj", "input_cls_proj"):
+        _set(hp, f"head/{name}/kernel",
+             _t(sd[f"head.{name}.weight"]), report)
+        _set(hp, f"head/{name}/bias",
+             np.asarray(sd[f"head.{name}.bias"]), report)
+
+    _set(hp, "head/query_embed",
+         np.asarray(sd["head.query_embed.weight"]), report)
+
+    # token branch MLP + class/bbox heads
+    if "mlp" in head:
+        n = len([k for k in head["mlp"] if k.startswith("layers_")])
+        _convert_mlp(sd, hp, "head.mlp.", "head/mlp", report, n)
+    for branch in ("token", "decoder"):
+        _set(hp, f"head/class_embed_{branch}/kernel",
+             _t(sd[f"head.class_embed_{branch}.weight"]), report)
+        _set(hp, f"head/class_embed_{branch}/bias",
+             np.asarray(sd[f"head.class_embed_{branch}.bias"]), report)
+        _convert_mlp(sd, hp, f"head.bbox_embed_{branch}.",
+                     f"head/bbox_embed_{branch}", report, 3)
+
+    # TGQG decoder
+    if "tgqg" in head:
+        n = len([k for k in head["tgqg"] if k.startswith("layers_")])
+        base = "head.text_guided_query_generation_transformer."
+        for i in range(n):
+            _convert_detr_layer(sd, hp, f"{base}layers.{i}.",
+                                f"head/tgqg/layers_{i}", report,
+                                has_cross=True)
+        _set(hp, "head/tgqg/post_norm_layer/scale",
+             np.asarray(sd[base + "post_norm_layer.weight"]), report)
+        _set(hp, "head/tgqg/post_norm_layer/bias",
+             np.asarray(sd[base + "post_norm_layer.bias"]), report)
+
+    # main DETR decoder
+    n = len([k for k in head["decoder"] if k.startswith("layers_")])
+    for i in range(n):
+        _convert_detr_layer(
+            sd, hp, f"head.transformer.decoder.layers.{i}.",
+            f"head/decoder/layers_{i}", report, has_cross=True,
+        )
+    _set(hp, "head/decoder/post_norm_layer/scale",
+         np.asarray(sd["head.transformer.decoder.post_norm_layer.weight"]),
+         report)
+    _set(hp, "head/decoder/post_norm_layer/bias",
+         np.asarray(sd["head.transformer.decoder.post_norm_layer.bias"]),
+         report)
+
+    if "encoder" in head:
+        n = len([k for k in head["encoder"] if k.startswith("layers_")])
+        for i in range(n):
+            _convert_detr_layer(
+                sd, hp, f"head.transformer.encoder.layers.{i}.",
+                f"head/encoder/layers_{i}", report, has_cross=False,
+            )
+
+    if logger:
+        logger.info(f"converted {len(report)} tensors total")
+    return report
+
+
+# ------------------------------------------------------------- loading
+
+def _torch_load(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("model", "module", "state_dict"):
+        if isinstance(ckpt, dict) and key in ckpt:
+            ckpt = ckpt[key]
+            break
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in ckpt.items()}
+
+
+def load_pretrained_into_params(params, path: str, logger=None):
+    """Dispatch by key inventory: BEiT-3 pretrain vs full SimVG."""
+    import jax
+
+    params = jax.tree.map(np.asarray, params)
+    # make mutable nested dicts
+    import flax
+
+    params = flax.core.unfreeze(params) if hasattr(
+        flax.core, "unfreeze") else params
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    params = _deep_dict(params)
+    sd = _torch_load(path)
+    if any(k.startswith("vis_enc.") for k in sd):
+        convert_simvg_full(sd, params, logger=logger)
+    else:
+        convert_beit3_encoder(sd, params, logger=logger)
+    return params
+
+
+def _deep_dict(d):
+    if isinstance(d, dict):
+        return {k: _deep_dict(v) for k, v in d.items()}
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("input", help=".pth/.zip torch checkpoint")
+    ap.add_argument("output", help="orbax checkpoint dir")
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--patch-size", type=int, default=32)
+    ap.add_argument("--vit", default="base", choices=["base", "large"])
+    ap.add_argument("--num-queries", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+
+    from simvg_tpu.models.builder import build_model
+    from simvg_tpu.utils.checkpoint import save_checkpoint
+
+    model, _ = build_model(
+        {
+            "type": "MIXDETRMB",
+            "vis_enc": {"vit_type": args.vit, "img_size": args.img_size,
+                        "patch_size": args.patch_size},
+            "head": {"num_queries": args.num_queries,
+                     "in_channels": 768 if args.vit == "base" else 1024},
+        },
+        img_size=args.img_size,
+    )
+    b = 1
+    import jax.numpy as jnp
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        image=jnp.zeros((b, args.img_size, args.img_size, 3)),
+        text_ids=jnp.zeros((b, 20), jnp.int32),
+        text_padding_mask=jnp.zeros((b, 20), jnp.int32),
+        img_shape=jnp.full((b, 2), args.img_size, jnp.int32),
+    )
+    params = load_pretrained_into_params(params, args.input)
+    import os
+
+    os.makedirs(osp.dirname(osp.abspath(args.output)) or ".",
+                exist_ok=True)
+    save_checkpoint(osp.dirname(osp.abspath(args.output)),
+                    osp.basename(args.output), params=params)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Single image + free-text expression demo (reference
+tools/demo.py:16-121): run the val pipeline on one raw image with a
+fabricated annotation record and draw the predicted box."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description="simvg_tpu demo")
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--img", required=True)
+    p.add_argument("--expression", required=True)
+    p.add_argument("--output-dir", default="demo_out")
+    p.add_argument("--branch", default="token",
+                   choices=["token", "decoder"])
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+
+    import cv2
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simvg_tpu.config import Config
+    from simvg_tpu.data.builder import build_pipeline
+    from simvg_tpu.data.loader import collate
+    from simvg_tpu.data.tokenization import build_tokenizer
+    from simvg_tpu.engine.train import make_eval_step
+    from simvg_tpu.models.builder import build_model
+    from simvg_tpu.utils.checkpoint import load_checkpoint
+    from simvg_tpu.utils.visualize import imshow_expr_bbox
+
+    cfg = Config.fromfile(args.config)
+    img_size = cfg.get("img_size", 640)
+    dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else jnp.float32
+    model, _ = build_model(cfg.model, img_size=img_size, dtype=dtype)
+
+    # val pipeline on a raw source (LoadFromRawSource equivalent,
+    # reference demo.py:57-75)
+    tfs, load_cfg = build_pipeline(cfg.get("val_pipeline", []))
+    max_token = load_cfg.get("max_token", cfg.get("max_token", 20))
+    tok = build_tokenizer(load_cfg.get("use_token_type", "beit3"),
+                          spm_path=cfg.get("tokenizer_spm"))
+
+    img = cv2.imread(args.img, cv2.IMREAD_COLOR)
+    assert img is not None, args.img
+    ids, mask = tok.encode(args.expression, max_token)
+    s = {
+        "img": img,
+        "ori_shape": img.shape,
+        "img_shape": img.shape,
+        "pad_shape": img.shape,
+        "scale_factor": np.ones(4, np.float32),
+        "with_bbox": False,
+        "with_mask": False,
+        "filename": args.img,
+        "expression": args.expression,
+        "ref_expr_inds": ids,
+        "text_attention_mask": mask,
+    }
+    for t in tfs:
+        s = t(s)
+    batch = collate([s], canvas=img_size, max_gt=1)
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        **{k: jnp.asarray(batch[k]) for k in
+           ("image", "text_ids", "text_padding_mask", "img_shape")},
+    )
+    if args.checkpoint:
+        params = load_checkpoint(args.checkpoint,
+                                 params_template=params)["params"]
+
+    step = jax.jit(make_eval_step(model))
+    preds = step(params, {k: v for k, v in batch.items() if k != "meta"})
+    best = np.asarray(preds[args.branch]["best_box"][0])
+    score = float(preds[args.branch]["best_score"][0])
+
+    # map back to the original image scale
+    sf = batch["scale_factor"][0]
+    box_ori = best / sf
+    os.makedirs(args.output_dir, exist_ok=True)
+    out_file = osp.join(
+        args.output_dir, osp.splitext(osp.basename(args.img))[0]
+        + "_pred.jpg"
+    )
+    imshow_expr_bbox(img, box_ori, out_file,
+                     expression=args.expression)
+    print(f"expression: {args.expression!r}")
+    print(f"box (xyxy, original scale): {box_ori.tolist()} "
+          f"score: {score:.3f}")
+    print(f"wrote {out_file}")
+
+
+if __name__ == "__main__":
+    main()

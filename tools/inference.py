@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Batch inference + visualisation dumps (reference tools/inference.py +
+simvg/apis/inference.py:20-140): run a split through the model and write
+images with predicted (red) / GT (blue) boxes; GRefCOCO filters by
+score threshold."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description="simvg_tpu inference")
+    p.add_argument("config")
+    p.add_argument("checkpoint")
+    p.add_argument("--which-set", default="val")
+    p.add_argument("--output-dir", default="inference_out")
+    p.add_argument("--branch", default="token",
+                   choices=["token", "decoder"])
+    p.add_argument("--score-threshold", type=float, default=0.7)
+    p.add_argument("--max-images", type=int, default=100)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+
+    import cv2
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from simvg_tpu.config import Config
+    from simvg_tpu.data.builder import (
+        build_dataset_from_cfg,
+        build_loader_from_cfg,
+    )
+    from simvg_tpu.engine.train import make_eval_step
+    from simvg_tpu.models.builder import build_model
+    from simvg_tpu.utils.checkpoint import load_checkpoint
+    from simvg_tpu.utils.visualize import imshow_expr_bbox
+
+    cfg = Config.fromfile(args.config)
+    img_size = cfg.get("img_size", 640)
+    is_grec = cfg.get("dataset") == "GRefCOCO"
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else jnp.float32
+    model, _ = build_model(cfg.model, img_size=img_size, dtype=dtype)
+
+    ds = build_dataset_from_cfg(cfg.data[args.which_set],
+                                dataset_type=cfg.get("dataset"))
+    loader = build_loader_from_cfg(
+        ds, cfg, train=False, canvas=img_size,
+        max_gt=cfg.get("max_gt", 12 if is_grec else 1),
+    )
+
+    sample = next(iter(loader))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        **{k: sample[k] for k in
+           ("image", "text_ids", "text_padding_mask", "img_shape")},
+    )
+    params = load_checkpoint(args.checkpoint,
+                             params_template=params)["params"]
+    step = jax.jit(make_eval_step(model))
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    written = 0
+    for batch in loader:
+        preds = step(params,
+                     {k: v for k, v in batch.items() if k != "meta"})
+        p_b = preds[args.branch]
+        for i, meta in enumerate(batch["meta"]):
+            if not batch["batch_valid"][i] or written >= args.max_images:
+                continue
+            img = cv2.imread(meta["filename"], cv2.IMREAD_COLOR)
+            sf = batch["scale_factor"][i]
+            if is_grec:
+                boxes = np.asarray(p_b["boxes"][i])
+                scores = np.asarray(p_b["scores"][i])
+                keep = scores >= args.score_threshold
+                box = boxes[keep] / sf
+            else:
+                box = np.asarray(p_b["best_box"][i]) / sf
+            nt = int(batch["gt_valid"][i].sum())
+            gt = batch["gt_boxes"][i, :nt] / sf
+            out_file = osp.join(
+                args.output_dir,
+                f"{written:05d}_"
+                + osp.splitext(osp.basename(meta["filename"]))[0]
+                + ".jpg",
+            )
+            imshow_expr_bbox(img, box, out_file, gt_bbox=gt,
+                             expression=meta["expression"])
+            written += 1
+        if written >= args.max_images:
+            break
+    print(f"wrote {written} visualisations to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

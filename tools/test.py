@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference tools/test.py:20-134): multi-split eval
+(val/testA/testB or Mixed sub-vals) from a checkpoint, optional EMA."""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import os
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description="simvg_tpu test")
+    p.add_argument("config")
+    p.add_argument("checkpoint")
+    p.add_argument("--with-ema", action="store_true",
+                   help="also evaluate the EMA weights")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    args = p.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from simvg_tpu.config import Config
+    from simvg_tpu.data.builder import (
+        build_dataset_from_cfg,
+        build_loader_from_cfg,
+    )
+    from simvg_tpu.engine.evaluate import evaluate
+    from simvg_tpu.models.builder import build_model
+    from simvg_tpu.utils import get_root_logger
+    from simvg_tpu.utils.checkpoint import load_checkpoint
+
+    cfg = Config.fromfile(args.config)
+    opts = {}
+    for kv in args.cfg_options:
+        k, v = kv.split("=", 1)
+        try:
+            opts[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            opts[k] = v
+    cfg.merge_from_dict(opts)
+
+    logger = get_root_logger()
+    seed = cfg.get("seed", 6666)
+    img_size = cfg.get("img_size", 640)
+    is_grec = cfg.get("dataset") == "GRefCOCO"
+    max_gt = cfg.get("max_gt", 12 if is_grec else 1)
+
+    dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else jnp.float32
+    model, _ = build_model(cfg.model, img_size=img_size, dtype=dtype)
+
+    splits = [s for s in ("val", "testA", "testB", "test")
+              if s in cfg.data]
+    loaders = {}
+    tokenizer = None
+    for s in splits:
+        ds = build_dataset_from_cfg(cfg.data[s],
+                                    dataset_type=cfg.get("dataset"),
+                                    tokenizer=tokenizer, seed=seed)
+        tokenizer = ds.tokenizer
+        loaders[s] = build_loader_from_cfg(ds, cfg, train=False,
+                                           canvas=img_size, max_gt=max_gt,
+                                           seed=seed)
+
+    first = next(iter(loaders.values()))
+    sample = next(iter(first))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        **{k: sample[k] for k in
+           ("image", "text_ids", "text_padding_mask", "img_shape")},
+    )
+    ck = load_checkpoint(args.checkpoint, params_template=params,
+                         with_ema=args.with_ema)
+    params = ck["params"]
+
+    for s, loader in loaders.items():
+        m = evaluate(model, params, loader, is_grec=is_grec,
+                     log_fn=logger.info,
+                     log_interval=cfg.get("log_interval", 50))
+        logger.info(f"[{s}] " + ", ".join(
+            f"{k}: {v:.2f}" for k, v in m.items()))
+        if args.with_ema and ck.get("ema_params") is not None:
+            m = evaluate(model, ck["ema_params"], loader, is_grec=is_grec)
+            logger.info(f"[{s}][EMA] " + ", ".join(
+                f"{k}: {v:.2f}" for k, v in m.items()))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,284 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Same surface as the reference's tools/train.py (args at
+/root/reference/tools/train.py:27-48: config, --work-dir, --resume-from,
+--load-from, --finetune-from, --seed, --cfg-options) driving the
+TPU-native stack: static-shape host loader -> ONE jitted train step over
+the device mesh -> per-epoch eval + best/latest checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="simvg_tpu train")
+    p.add_argument("config")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--load-from", default=None)
+    p.add_argument("--finetune-from", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--platform", default=None,
+                   help="force jax platform (cpu for smoke tests)")
+    p.add_argument("--cfg-options", nargs="*", default=[],
+                   help="dotted overrides key=value")
+    return p.parse_args()
+
+
+def _parse_options(pairs):
+    out = {}
+    for kv in pairs:
+        k, v = kv.split("=", 1)
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
+
+
+def main():
+    args = parse_args()
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simvg_tpu.config import Config
+    from simvg_tpu.data.builder import (
+        build_dataset_from_cfg,
+        build_loader_from_cfg,
+    )
+    from simvg_tpu.engine import (
+        create_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+    from simvg_tpu.engine.evaluate import evaluate
+    from simvg_tpu.models.builder import build_model
+    from simvg_tpu.utils import get_root_logger, save_checkpoint
+    from simvg_tpu.utils.checkpoint import load_checkpoint
+
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_dict(_parse_options(args.cfg_options))
+    seed = args.seed if args.seed is not None else cfg.get("seed", 6666)
+
+    work_dir = args.work_dir or cfg.get("work_dir") or osp.join(
+        "work_dir", osp.splitext(osp.basename(args.config))[0]
+    )
+    os.makedirs(work_dir, exist_ok=True)
+    timestamp = time.strftime("%Y%m%d_%H%M%S")
+    logger = get_root_logger(osp.join(work_dir,
+                                      f"{timestamp}_train_log.txt"))
+    cfg.dump(osp.join(work_dir, "config.py"))
+    logger.info(f"work_dir: {work_dir}; devices: {jax.devices()}")
+
+    # ---- data
+    img_size = cfg.get("img_size", 640)
+    is_grec = cfg.get("dataset") == "GRefCOCO"
+    max_gt = cfg.get("max_gt", 12 if is_grec else 1)
+    train_ds = build_dataset_from_cfg(cfg.data.train,
+                                      dataset_type=cfg.get("dataset"),
+                                      seed=seed)
+    train_loader = build_loader_from_cfg(
+        train_ds, cfg, train=True, canvas=img_size, max_gt=max_gt,
+        seed=seed,
+    )
+    val_loaders = {}
+    for split in ("val", "testA", "testB", "test"):
+        if split in cfg.data:
+            ds = build_dataset_from_cfg(cfg.data[split],
+                                        dataset_type=cfg.get("dataset"),
+                                        tokenizer=train_ds.tokenizer,
+                                        seed=seed)
+            val_loaders[split] = build_loader_from_cfg(
+                ds, cfg, train=False, canvas=img_size, max_gt=max_gt,
+                seed=seed,
+            )
+
+    # ---- model
+    dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else jnp.float32
+    model, loss_cfg = build_model(cfg.model, img_size=img_size,
+                                  dtype=dtype)
+    sample = next(iter(train_loader))
+    init_batch = {k: sample[k] for k in
+                  ("image", "text_ids", "text_padding_mask", "img_shape")}
+    rng = jax.random.PRNGKey(seed)
+    params = model.init(rng, **init_batch)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    logger.info(f"model params: {n_params / 1e6:.2f}M")
+
+    if loss_cfg.get("pretrain"):
+        if osp.exists(loss_cfg["pretrain"]):
+            from tools.convert_checkpoint import (
+                load_pretrained_into_params,
+            )
+
+            params = load_pretrained_into_params(
+                params, loss_cfg["pretrain"], logger=logger
+            )
+        else:
+            logger.warning(
+                f"pretrain checkpoint {loss_cfg['pretrain']} not found; "
+                "training from random init"
+            )
+
+    # ---- optimizer / scheduler (reference keys, SURVEY.md §2.7)
+    opt_cfg = cfg.get("optimizer_config", {})
+    sch_cfg = cfg.get("scheduler_config", {})
+    steps_per_epoch = max(len(train_loader), 1)
+    max_epoch = sch_cfg.get("max_epoch", 30)
+    lr = opt_cfg.get("lr", 5e-4)
+    tx = create_optimizer(
+        lr,
+        steps_per_epoch,
+        lr_vis_enc=opt_cfg.get("lr_vis_enc", lr / 10.0),
+        lr_lan_enc=opt_cfg.get("lr_lan_enc", lr),
+        betas=tuple(opt_cfg.get("betas", (0.9, 0.98))),
+        eps=opt_cfg.get("eps", 1e-9),
+        grad_norm_clip=cfg.get("grad_norm_clip", 0.15),
+        warmup_epochs=sch_cfg.get("warmup_epochs", 3),
+        decay_steps=tuple(sch_cfg.get("decay_steps", (25,))),
+        decay_ratio=sch_cfg.get("decay_ratio", 0.1),
+    )
+    use_ema = cfg.get("ema", False)
+    state = create_train_state(params, tx, ema=use_ema)
+    del params
+
+    start_epoch = 0
+    if args.resume_from:
+        ck = load_checkpoint(args.resume_from,
+                             params_template=state.params,
+                             opt_state_template=state.opt_state,
+                             with_opt=True, with_ema=use_ema)
+        state = state.replace(
+            params=ck["params"],
+            opt_state=ck.get("opt_state", state.opt_state),
+            ema_params=ck.get("ema_params", state.ema_params),
+            step=jnp.asarray(ck["epoch"] * steps_per_epoch, jnp.int32),
+        )
+        start_epoch = ck["epoch"]
+        logger.info(f"resumed from {args.resume_from} @ epoch "
+                    f"{start_epoch}")
+    elif args.load_from:
+        ck = load_checkpoint(args.load_from,
+                             params_template=state.params,
+                             with_ema=use_ema)
+        state = state.replace(params=ck["params"],
+                              ema_params=ck.get("ema_params",
+                                                state.ema_params))
+        logger.info(f"loaded weights from {args.load_from}")
+    elif args.finetune_from:
+        ck = load_checkpoint(args.finetune_from,
+                             params_template=state.params)
+        state = state.replace(params=ck["params"])
+        logger.info(f"finetuned from {args.finetune_from}")
+
+    train_step = jax.jit(
+        make_train_step(
+            model,
+            tx,
+            branch_loss_weight=loss_cfg["branch_loss_weight"],
+            prepare_target_mode=loss_cfg["prepare_target_mode"],
+            distill_type=loss_cfg["distill_type"],
+            mlp_aux_loss=loss_cfg.get("mlp_aux_loss", False),
+            ema_alpha=cfg.get("ema_factor", 0.999) if use_ema else None,
+            with_metrics=not is_grec,
+        ),
+        donate_argnums=(0,),
+    )
+
+    log_interval = cfg.get("log_interval", 50)
+    evaluate_interval = cfg.get("evaluate_interval", 1)
+    start_eval = cfg.get("start_evaluate_epoch", 0)
+    best_acc = -1.0
+    step_rng = jax.random.PRNGKey(seed + 1)
+
+    for epoch in range(start_epoch, max_epoch):
+        train_loader.set_epoch(epoch)
+        t_ep = time.time()
+        t_data = time.time()
+        for it, batch in enumerate(train_loader):
+            data_time = time.time() - t_data
+            device_batch = {k: v for k, v in batch.items() if k != "meta"}
+            state, scalars = train_step(state, device_batch, step_rng)
+            if (it + 1) % log_interval == 0 or it + 1 == steps_per_epoch:
+                s = {k: float(v) for k, v in scalars.items()}
+                msg = ", ".join(
+                    f"{k}: {v:.4f}" for k, v in s.items()
+                    if k.startswith("loss") or k.endswith("det_acc")
+                )
+                logger.info(
+                    f"train - epoch [{epoch + 1}]"
+                    f"[{it + 1}/{steps_per_epoch}] "
+                    f"data_time: {data_time:.3f}, {msg}"
+                )
+            t_data = time.time()
+        logger.info(f"epoch {epoch + 1} done in "
+                    f"{time.time() - t_ep:.1f}s")
+
+        if (epoch + 1) % evaluate_interval == 0 and epoch >= start_eval:
+            for split, loader in val_loaders.items():
+                metrics = evaluate(model, state.params, loader,
+                                   is_grec=is_grec,
+                                   log_fn=logger.info,
+                                   log_interval=log_interval)
+                logger.info(f"eval[{split}] epoch {epoch + 1}: " + ", ".join(
+                    f"{k}: {v:.2f}" for k, v in metrics.items()
+                ))
+                if use_ema and state.ema_params is not None:
+                    m_ema = evaluate(model, state.ema_params, loader,
+                                     is_grec=is_grec)
+                    logger.info(
+                        f"eval[{split}][EMA] epoch {epoch + 1}: "
+                        + ", ".join(f"{k}: {v:.2f}"
+                                    for k, v in m_ema.items())
+                    )
+                if split == "val":
+                    acc = metrics["det_acc"]
+                    if acc > best_acc:
+                        best_acc = acc
+                        save_checkpoint(
+                            work_dir, "det_best",
+                            params=state.params,
+                            ema_params=state.ema_params,
+                            epoch=epoch + 1,
+                            metrics=metrics,
+                        )
+
+        save_checkpoint(
+            work_dir, "latest",
+            params=state.params,
+            opt_state=state.opt_state,
+            ema_params=state.ema_params,
+            epoch=epoch + 1,
+            metrics={"best_det_acc": best_acc},
+        )
+        save_interval = cfg.get("save_interval", -1)
+        if save_interval and save_interval > 0 and (
+                epoch + 1) % save_interval == 0:
+            save_checkpoint(work_dir, f"epoch_{epoch + 1}",
+                            params=state.params,
+                            ema_params=state.ema_params,
+                            epoch=epoch + 1)
+
+    logger.info(f"training done; best val det_acc {best_acc:.2f}")
+
+
+if __name__ == "__main__":
+    main()
