@@ -45,13 +45,16 @@ class Config(dict):
         module = types.ModuleType("_cfg")
         module.__dict__["__file__"] = path
         exec(compile(code, path, "exec"), module.__dict__)
-        return {
+        out = {
             k: v
             for k, v in module.__dict__.items()
             if not k.startswith("_")
             and not isinstance(v, (types.ModuleType, types.FunctionType,
                                    type))
         }
+        if "_base_" in module.__dict__:
+            out["_base_"] = module.__dict__["_base_"]
+        return out
 
     @staticmethod
     def _merge(base: Dict, new: Dict) -> Dict:

@@ -1,0 +1,43 @@
+import os.path as osp
+
+from simvg_tpu.config import Config
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def test_base_inheritance_merges_parent_keys():
+    cfg = Config.fromfile(
+        osp.join(REPO, "configs/smoke/tiny_synth_grec.py")
+    )
+    # child keys
+    assert cfg.dataset == "GRefCOCO"
+    assert cfg.max_gt == 4
+    # parent keys must survive the merge (regression: _base_ was filtered
+    # out by the underscore rule)
+    assert cfg.img_size == 64
+    assert cfg.model.head.num_queries == 10  # child override
+    assert cfg.model.head.embed_dim == 64  # parent value kept
+    assert "pipeline" in cfg.data.train  # parent pipeline kept
+    assert cfg.data.train.annsfile.startswith("/tmp/simvg_tpu_synth_grec")
+
+
+def test_reference_style_config_loads():
+    cfg = Config.fromfile(
+        osp.join(REPO,
+                 "configs/single/ViT-base/refcoco/refcoco_onestage.py")
+    )
+    assert cfg.model.vis_enc.vit_type == "base"
+    assert cfg.model.head.branch_loss_weight["balanced_distill"][
+        "token"] == 2.0
+    assert cfg.scheduler_config.decay_steps == [25]
+    assert cfg.ema is False  # leaf overrides _base_/misc.py's True
+    assert cfg.optimizer_config.lr_vis_enc == cfg.optimizer_config.lr / 10
+
+
+def test_merge_from_dict_dotted():
+    cfg = Config.fromfile(
+        osp.join(REPO, "configs/smoke/tiny_synth.py")
+    )
+    cfg.merge_from_dict({"model.head.num_queries": 5, "lr": 0.1})
+    assert cfg.model.head.num_queries == 5
+    assert cfg.lr == 0.1

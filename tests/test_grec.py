@@ -1,0 +1,99 @@
+"""GRefCOCO protocol tests: metric hand-computed cases + the padded
+multi-target/no-target training path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simvg_tpu.engine.metrics import grec_f1_nacc
+from simvg_tpu.losses.criterion import Targets, simvg_branch_losses
+
+BLW = {"decoder": 1.0, "balanced_distill": {"token": 2.0, "distill": 1.0}}
+
+
+def test_grec_f1_hand_cases():
+    box = lambda x, y, w, h: np.asarray([x, y, x + w, y + h], np.float64)
+
+    # case 1: single GT, confident matching pred -> correct image, TN
+    # case 2: no-target, no confident pred -> correct, TP
+    # case 3: no-target, confident pred -> wrong, FN
+    # case 4: two GT, one matching pred -> F1=2/3 -> wrong, TN
+    preds = [
+        np.stack([box(10, 10, 20, 20), box(50, 50, 5, 5)]),
+        np.stack([box(0, 0, 10, 10)]),
+        np.stack([box(0, 0, 10, 10)]),
+        np.stack([box(10, 10, 20, 20)]),
+    ]
+    scores = [
+        np.asarray([0.9, 0.1]),
+        np.asarray([0.2]),
+        np.asarray([0.95]),
+        np.asarray([0.9]),
+    ]
+    gts = [
+        box(10, 10, 20, 20)[None],
+        box(0, 0, 0, 0)[None],
+        box(0, 0, 0, 0)[None],
+        np.stack([box(10, 10, 20, 20), box(60, 60, 20, 20)]),
+    ]
+    targets = [
+        [{"category_id": 1}],
+        [{"category_id": -1}],
+        [{"category_id": -1}],
+        [{"category_id": 1}, {"category_id": 1}],
+    ]
+    m = grec_f1_nacc(preds, scores, gts, targets)
+    # correct images: case1 (F1=1) + case2 (no-target, no pred) = 2/4
+    np.testing.assert_allclose(m["F1_score"], 50.0)
+    # N-acc: TP=1 (case2), FN=1 (case3) -> 50%
+    np.testing.assert_allclose(m["N_acc"], 50.0)
+    assert m["TN"] == 2 and m["FP"] == 0
+
+
+def test_grec_score_filter_and_greedy_matching():
+    box = lambda x, y, w, h: np.asarray([x, y, x + w, y + h], np.float64)
+    # two GT, two confident preds both matching distinct GT -> F1=1
+    preds = [np.stack([box(0, 0, 10, 10), box(50, 50, 10, 10)])]
+    scores = [np.asarray([0.8, 0.75])]
+    gts = [np.stack([box(0, 0, 10, 10), box(50, 50, 10, 10)])]
+    targets = [[{"category_id": 1}, {"category_id": 1}]]
+    m = grec_f1_nacc(preds, scores, gts, targets)
+    np.testing.assert_allclose(m["F1_score"], 100.0)
+    # same but one pred below threshold -> only 1 matched, F1=2/3 -> 0
+    scores = [np.asarray([0.8, 0.5])]
+    m = grec_f1_nacc(preds, scores, gts, targets)
+    np.testing.assert_allclose(m["F1_score"], 0.0)
+
+
+def test_grec_training_losses_with_no_target_rows():
+    """Padded grec batch: labels==1 rows (no-target) join the CE loss but
+    are excluded from distill targets (tgqs_kd_detr_head.py:222-229)."""
+    rng = np.random.default_rng(0)
+    L, B, Q, T = 2, 3, 10, 4
+    logits = jnp.asarray(rng.normal(size=(L, B, Q, 2)), jnp.float32)
+    boxes = jnp.asarray(rng.uniform(0.2, 0.6, (L, B, Q, 4)), jnp.float32)
+    labels = np.zeros((B, T), np.int32)
+    valid = np.zeros((B, T), bool)
+    valid[0, :2] = True           # 2 objects
+    valid[1, 0] = True
+    labels[1, 0] = 1              # no-target sample
+    valid[2, :3] = True
+    head_out = {
+        "class_decoder": logits,
+        "bbox_decoder": boxes,
+        "class_token": logits[-1:],
+        "bbox_token": boxes[-1:],
+    }
+    targets = Targets(
+        labels=jnp.asarray(labels),
+        boxes=jnp.asarray(rng.uniform(0.2, 0.6, (B, T, 4)), jnp.float32),
+        valid=jnp.asarray(valid),
+        weight=jnp.ones((B, T), jnp.float32),
+    )
+    out = jax.jit(
+        lambda h, t: simvg_branch_losses(h, t, branch_loss_weight=BLW)
+    )(head_out, targets)
+    for k, v in out.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    # distill weight only averages over object rows (5 of 6 valid)
+    assert 0.0 <= float(out["loss_distill_w"]) <= 1.0
