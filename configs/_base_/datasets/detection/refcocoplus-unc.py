@@ -1,0 +1,66 @@
+# RefCOCO (UNC split) data config
+# (key surface mirrors /root/reference/configs/_base_/datasets/detection/
+# refcoco-unc.py)
+dataset = "RefCOCOPlusUNC"
+data_root = "./data/"
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
+                    std=[58.395, 57.12, 57.375])
+
+train_pipeline = [
+    dict(type="LoadImageAnnotationsFromFile", max_token=15,
+         with_bbox=True, dataset="RefCOCOPlusUNC"),
+    dict(type="LargeScaleJitter", out_max_size=512, jitter_min=0.3,
+         jitter_max=1.4),
+    dict(type="Resize", img_scale=(512, 512), keep_ratio=False),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Pad", size_divisor=32),
+    dict(type="DefaultFormatBundle"),
+    dict(type="CollectData", keys=["img", "ref_expr_inds", "gt_bbox"]),
+]
+val_pipeline = [
+    dict(type="LoadImageAnnotationsFromFile", max_token=15,
+         with_bbox=True, dataset="RefCOCOPlusUNC"),
+    dict(type="Resize", img_scale=(512, 512), keep_ratio=False),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Pad", size_divisor=32),
+    dict(type="DefaultFormatBundle"),
+    dict(type="CollectData", keys=["img", "ref_expr_inds", "gt_bbox"]),
+]
+test_pipeline = list(val_pipeline)
+
+data = dict(
+    samples_per_gpu=64,
+    workers_per_gpu=4,
+    train=dict(
+        type=dataset,
+        which_set="train",
+        img_source=["coco"],
+        annsfile=data_root + "annotations/refcocoplus-unc/instances.json",
+        imgsfile=data_root + "images/mscoco/train2014",
+        pipeline=train_pipeline,
+    ),
+    val=dict(
+        type=dataset,
+        which_set="val",
+        img_source=["coco"],
+        annsfile=data_root + "annotations/refcocoplus-unc/instances.json",
+        imgsfile=data_root + "images/mscoco/train2014",
+        pipeline=val_pipeline,
+    ),
+    testA=dict(
+        type=dataset,
+        which_set="testA",
+        img_source=["coco"],
+        annsfile=data_root + "annotations/refcocoplus-unc/instances.json",
+        imgsfile=data_root + "images/mscoco/train2014",
+        pipeline=test_pipeline,
+    ),
+    testB=dict(
+        type=dataset,
+        which_set="testB",
+        img_source=["coco"],
+        annsfile=data_root + "annotations/refcocoplus-unc/instances.json",
+        imgsfile=data_root + "images/mscoco/train2014",
+        pipeline=test_pipeline,
+    ),
+)

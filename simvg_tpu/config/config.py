@@ -60,7 +60,11 @@ class Config(dict):
     def _merge(base: Dict, new: Dict) -> Dict:
         out = copy.deepcopy(base)
         for k, v in new.items():
-            if (k in out and isinstance(out[k], dict)
+            if isinstance(v, dict) and v.get("_delete_"):
+                # mmcv-style replace marker: drop the parent value
+                v = {kk: vv for kk, vv in v.items() if kk != "_delete_"}
+                out[k] = copy.deepcopy(v)
+            elif (k in out and isinstance(out[k], dict)
                     and isinstance(v, dict)):
                 out[k] = Config._merge(out[k], v)
             else:

@@ -53,6 +53,7 @@ class BEiT3Config:
     attention_dropout: float = 0.0
     layernorm_eps: float = 1e-5
     dtype: Any = jnp.float32  # compute dtype; params are always fp32
+    attn_impl: str = "xla"  # "xla" | "pallas" (fused kernel)
 
     @property
     def num_patches(self) -> int:
@@ -166,6 +167,11 @@ class MultiwayAttention(nn.Module):
             dropout_rng=None if deterministic or cfg.attention_dropout == 0.0
             else self.make_rng("dropout"),
             dtype=cfg.dtype,
+            # the fused kernel has no prob-dropout path; fall back to XLA
+            # when attention dropout is active (it is 0.0 in every
+            # shipped config)
+            impl=cfg.attn_impl
+            if deterministic or cfg.attention_dropout == 0.0 else "xla",
         )
 
         inner_a = _ln(cfg, "inner_attn_ln_A")

@@ -34,6 +34,7 @@ def build_model(model_cfg: Dict[str, Any], *, img_size: int = 640,
         vocab_size=ve.get("vocab_size", 64010),
         drop_path_rate=ve.get("drop_path_rate", 0.1),
         dtype=dtype,
+        attn_impl=ve.get("attn_impl", "xla"),
     )
     extra = {
         k: ve[k]
