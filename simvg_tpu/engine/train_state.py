@@ -75,6 +75,22 @@ def _group_label(path_parts) -> str:
     return "rest"
 
 
+def _freeze_label(path_parts, freeze_layer: int) -> bool:
+    """True if the parameter belongs to a frozen encoder layer.
+
+    Mirrors BEIT3._freeze_stages (simvg/models/vis_encs/beit/
+    beit3.py:78-90): encoder layers [0, freeze_layer) stop training.
+    """
+    keys = [str(getattr(p, "key", p)) for p in path_parts]
+    for k in keys:
+        if k.startswith("layers_"):
+            try:
+                return int(k.split("_")[1]) < freeze_layer
+            except ValueError:
+                return False
+    return False
+
+
 def create_optimizer(
     lr: float,
     steps_per_epoch: int,
@@ -87,6 +103,7 @@ def create_optimizer(
     warmup_epochs: int = 3,
     decay_steps: Sequence[int] = (25,),
     decay_ratio: float = 0.1,
+    freeze_layer: int = -1,
 ) -> optax.GradientTransformation:
     lr_vis_enc = lr / 10.0 if lr_vis_enc is None else lr_vis_enc
     lr_lan_enc = lr if lr_lan_enc is None else lr_lan_enc
@@ -109,9 +126,16 @@ def create_optimizer(
     }
 
     def label_fn(params):
-        return jax.tree_util.tree_map_with_path(
-            lambda kp, _: _group_label(kp), params
-        )
+        def lab(kp, _):
+            if freeze_layer >= 0 and _group_label(kp) == "vis_enc" \
+                    and _freeze_label(kp, freeze_layer):
+                return "frozen"
+            return _group_label(kp)
+
+        return jax.tree_util.tree_map_with_path(lab, params)
+
+    if freeze_layer >= 0:
+        transforms = dict(transforms, frozen=optax.set_to_zero())
 
     tx = optax.multi_transform(transforms, label_fn)
     if grad_norm_clip and grad_norm_clip > 0:

@@ -386,11 +386,15 @@ def simvg_branch_losses(
                 )
             elif distill_type == "hard":
                 k = set_criterion(cls_tok_, box_tok_, targets_pred, **kw)
-            else:
-                raise NotImplementedError(
-                    f"distill_type={distill_type!r} (soft distill lands "
-                    "with the DistillCriterion port)"
+            elif distill_type == "soft":
+                from .distill import soft_distill_losses
+
+                k = soft_distill_losses(
+                    cls_tok_, box_tok_,
+                    cls_dec[-1], box_dec[-1],
                 )
+            else:
+                raise ValueError(f"unknown distill_type {distill_type!r}")
             loss_kd = branch_loss_weight["distill"] * k["total"]
             losses["loss_kd"] = loss_kd
             total = total + loss_kd

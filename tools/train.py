@@ -155,6 +155,7 @@ def main():
         warmup_epochs=sch_cfg.get("warmup_epochs", 3),
         decay_steps=tuple(sch_cfg.get("decay_steps", (25,))),
         decay_ratio=sch_cfg.get("decay_ratio", 0.1),
+        freeze_layer=loss_cfg.get("freeze_layer", -1),
     )
     use_ema = cfg.get("ema", False)
     state = create_train_state(params, tx, ema=use_ema)
