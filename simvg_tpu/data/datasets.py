@@ -166,7 +166,27 @@ class BaseDataset:
 
         if self.with_bbox:
             self._load_bbox(s, ann, expr_idx)
+        if self.with_mask:
+            self._load_mask(s, ann)
         return self.pipeline(s)
+
+    def _load_mask(self, s: dict, ann: dict):
+        """Polygon-or-RLE GT mask -> bitmap + RLE (loading.py:241-262)."""
+        from simvg_tpu.ops import rle as rle_ops
+
+        mask = ann["mask"]
+        h, w = s["ori_shape"][:2]
+        is_crowd = 0
+        if isinstance(mask, list):  # polygon(s)
+            rles = rle_ops.frPyObjects(mask, h, w)
+            if len(rles) > 1:
+                is_crowd = 1
+            r = rle_ops.merge(rles)
+        else:
+            r = mask
+        s["gt_mask"] = rle_ops.decode(r)
+        s["gt_mask_rle"] = r
+        s["is_crowd"] = is_crowd
 
     def _load_bbox(self, s: dict, ann: dict, expr_idx: int):
         """xywh -> xyxy, clipped (loading.py:211-222)."""

@@ -74,6 +74,8 @@ def collate(samples: List[dict], canvas: int, max_gt: int = 1,
             "ori_shape": s.get("ori_shape"),
             "img_shape": s.get("img_shape"),
             "target": s.get("target"),
+            "gt_mask_rle": s.get("gt_mask_rle"),
+            "is_crowd": s.get("is_crowd"),
         })
 
     return {

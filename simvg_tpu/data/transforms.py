@@ -39,6 +39,17 @@ def _rescale_to_max(img: np.ndarray, max_size: int) -> np.ndarray:
     return _imrescale(img, scale)
 
 
+def _resize_mask(s: dict, wh) -> None:
+    """Resize the GT bitmap mask (nearest; binary) and refresh its RLE
+    (the reference re-encodes after every geometric op,
+    transforms.py:99, 204)."""
+    from simvg_tpu.ops import rle as rle_ops
+
+    m = cv2.resize(s["gt_mask"], wh, interpolation=cv2.INTER_NEAREST)
+    s["gt_mask"] = m
+    s["gt_mask_rle"] = rle_ops.encode(m)
+
+
 class Resize:
     """Resize image + boxes (transforms.py:9-122).  ``img_scale`` is
     (w, h); keep_ratio rescales the long side."""
@@ -69,6 +80,8 @@ class Resize:
                 s["gt_bbox"] = [b * sf for b in gb]
             else:
                 s["gt_bbox"] = gb * sf
+        if s.get("with_mask") and "gt_mask" in s:
+            _resize_mask(s, (new_w, new_h))
         return s
 
 
@@ -119,6 +132,13 @@ class Pad:
         out[:h, :w] = img
         s["img"] = out
         s["pad_shape"] = out.shape
+        if s.get("with_mask") and "gt_mask" in s:
+            from simvg_tpu.ops import rle as rle_ops
+
+            m = np.zeros((th, tw), s["gt_mask"].dtype)
+            m[:h, :w] = s["gt_mask"]
+            s["gt_mask"] = m
+            s["gt_mask_rle"] = rle_ops.encode(m)
         return s
 
 
@@ -161,6 +181,9 @@ class LargeScaleJitter:
         fit_scale = self.out_max_size / max(h, w)
         img = _imrescale(img, rand_scale * fit_scale)
         new_h, new_w = img.shape[:2]
+        if s.get("with_mask") and "gt_mask" in s:
+            s["gt_mask"] = cv2.resize(s["gt_mask"], (new_w, new_h),
+                                      interpolation=cv2.INTER_NEAREST)
 
         gt_bbox = s.get("gt_bbox")
         multi = isinstance(gt_bbox, list)
@@ -210,6 +233,9 @@ class LargeScaleJitter:
                 crop, offset = history[best_idx]
             crop = crop.astype(np.uint32)
             img = img[crop[1]:crop[3], crop[0]:crop[2]]
+            if s.get("with_mask") and "gt_mask" in s:
+                s["gt_mask"] = s["gt_mask"][crop[1]:crop[3],
+                                            crop[0]:crop[2]]
             new_h, new_w = img.shape[:2]
             shift = np.asarray(
                 [offset[0], offset[1], offset[0], offset[1]]
@@ -222,6 +248,10 @@ class LargeScaleJitter:
 
         if s.get("with_bbox"):
             s["gt_bbox"] = self._clip(gt_bbox, new_w, new_h, multi)
+        if s.get("with_mask") and "gt_mask" in s:
+            from simvg_tpu.ops import rle as rle_ops
+
+            s["gt_mask_rle"] = rle_ops.encode(s["gt_mask"])
         s["img"] = img
         s["img_shape"] = img.shape
         s["pad_shape"] = img.shape

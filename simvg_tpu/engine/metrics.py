@@ -61,6 +61,26 @@ def detection_accuracy(
     }
 
 
+def mask_accuracy(
+    pred_rles: Sequence,  # per-image predicted RLE
+    gt_rles: Sequence,  # per-image GT RLE
+    is_crowd: Optional[Sequence[int]] = None,
+    thresholds: Sequence[float] = (0.5, 0.6, 0.7, 0.8, 0.9),
+) -> Dict[str, float]:
+    """Aligned mask IoU + acc@thresholds (mask_overlaps + accuracy,
+    simvg/apis/test.py:13-27, 81-88)."""
+    from simvg_tpu.ops import rle as rle_ops
+
+    ious = np.diag(rle_ops.iou(list(pred_rles), list(gt_rles),
+                               list(is_crowd) if is_crowd else None))
+    out = {"miou": float(ious.mean() * 100.0) if len(ious) else 0.0}
+    for t in thresholds:
+        out[f"acc@{t}"] = (
+            float((ious >= t).mean() * 100.0) if len(ious) else 0.0
+        )
+    return out
+
+
 def grec_f1_nacc(
     pred_boxes: Sequence[np.ndarray],  # per image [Q, 4] xyxy
     pred_scores: Sequence[np.ndarray],  # per image [Q]

@@ -26,6 +26,12 @@ import numpy as np
 RLE = Dict[str, Union[bytes, str, Sequence[int]]]
 
 
+def _native():
+    from simvg_tpu.native import get_rle_ext
+
+    return get_rle_ext()
+
+
 # ----------------------------------------------------------- counts codec
 
 def _encode_counts(counts: np.ndarray) -> bytes:
@@ -76,6 +82,14 @@ def _decode_counts(s: bytes) -> np.ndarray:
 def encode(mask: np.ndarray) -> RLE:
     """Binary mask [H, W] (any int/bool dtype) -> compressed RLE dict."""
     h, w = mask.shape
+    ext = _native()
+    if ext is not None and mask.size:
+        flat = np.ascontiguousarray(
+            np.asfortranarray(mask).reshape(-1, order="F").astype(np.uint8)
+        )
+        runs = ext.runs_from_mask(flat.tobytes())
+        return {"size": [int(h), int(w)],
+                "counts": ext.encode_counts(runs)}
     flat = np.asfortranarray(mask).reshape(-1, order="F").astype(bool)
     # run lengths, starting with a (possibly zero) run of 0s
     changes = np.flatnonzero(flat[1:] != flat[:-1]) + 1
@@ -96,13 +110,22 @@ def decode(rle: RLE) -> np.ndarray:
     counts = rle["counts"]
     if isinstance(counts, str):
         counts = counts.encode()
+    ext = _native()
     if isinstance(counts, (bytes, bytearray)):
-        runs = _decode_counts(bytes(counts))
+        if ext is not None:
+            runs = ext.decode_counts(bytes(counts))
+        else:
+            runs = _decode_counts(bytes(counts))
     else:
         runs = np.asarray(counts, np.int64)
-    vals = np.zeros(len(runs), np.uint8)
-    vals[1::2] = 1
-    flat = np.repeat(vals, runs)
+    if ext is not None:
+        flat = np.frombuffer(
+            ext.mask_from_runs([int(r) for r in runs], h * w), np.uint8
+        )
+    else:
+        vals = np.zeros(len(runs), np.uint8)
+        vals[1::2] = 1
+        flat = np.repeat(vals, runs)
     assert flat.size == h * w, (flat.size, h, w)
     return flat.reshape((h, w), order="F")
 

@@ -1,0 +1,89 @@
+"""with_mask data path: polygon GT -> bitmap -> transforms -> RLE."""
+
+import numpy as np
+
+from simvg_tpu.data.transforms import Normalize, Pad, Resize
+from simvg_tpu.engine.metrics import mask_accuracy
+from simvg_tpu.ops import rle as rle_ops
+
+
+def _mask_sample(h=60, w=80):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (h, w, 3), np.uint8)
+    mask = np.zeros((h, w), np.uint8)
+    mask[10:40, 20:60] = 1
+    return {
+        "img": img,
+        "ori_shape": img.shape,
+        "img_shape": img.shape,
+        "pad_shape": img.shape,
+        "scale_factor": np.ones(4, np.float32),
+        "with_bbox": False,
+        "with_mask": True,
+        "gt_mask": mask,
+        "gt_mask_rle": rle_ops.encode(mask),
+    }
+
+
+def test_mask_through_resize_and_pad():
+    s = _mask_sample()
+    s = Resize((40, 30), keep_ratio=False)(s)
+    assert s["gt_mask"].shape == (30, 40)
+    s = Normalize([0, 0, 0], [1, 1, 1])(s)
+    s = Pad(size_divisor=32)(s)
+    assert s["gt_mask"].shape == (32, 64)
+    # RLE stays in sync with the bitmap
+    np.testing.assert_array_equal(rle_ops.decode(s["gt_mask_rle"]),
+                                  s["gt_mask"])
+    # mask area roughly preserved under resize ratio
+    orig_frac = (30 * 40) / (60 * 80)
+    assert abs(s["gt_mask"].sum() - 1200 * orig_frac) < 150
+
+
+def test_mask_accuracy_metric():
+    a = np.zeros((20, 20), np.uint8)
+    a[:10] = 1
+    b = np.zeros((20, 20), np.uint8)
+    b[5:15] = 1
+    ra, rb = rle_ops.encode(a), rle_ops.encode(b)
+    m = mask_accuracy([ra], [rb])
+    np.testing.assert_allclose(m["miou"], 100 / 3, rtol=1e-5)
+    assert m["acc@0.5"] == 0.0
+    m2 = mask_accuracy([ra], [ra])
+    assert m2["acc@0.9"] == 100.0
+
+
+def test_grefcoco_dataset_with_mask(tmp_path):
+    """Dataset-level mask loading from polygon annotations."""
+    import json
+    import os
+
+    import cv2
+
+    from simvg_tpu.data import build_dataset
+
+    imgdir = os.path.join(str(tmp_path), "images")
+    os.makedirs(imgdir)
+    img = np.zeros((50, 50, 3), np.uint8)
+    cv2.imwrite(os.path.join(imgdir, "COCO_train2014_%012d.jpg" % 1), img)
+    anns = {"val": [{
+        "image_id": 1, "height": 50, "width": 50,
+        "bbox": [10, 10, 20, 20],
+        "expressions": ["thing"],
+        "mask": [[10, 10, 30, 10, 30, 30, 10, 30]],
+    }]}
+    annfile = os.path.join(str(tmp_path), "instances.json")
+    json.dump(anns, open(annfile, "w"))
+    ds = build_dataset(
+        "RefCOCOUNC", imgsfile=imgdir, annsfile=annfile, which_set="val",
+        max_token=8, use_token_type="beit3", with_bbox=True,
+        with_mask=True,
+        transforms=[Resize((64, 64), keep_ratio=False),
+                    Normalize([0, 0, 0], [1, 1, 1]), Pad(size_divisor=32)],
+    )
+    s = ds[0]
+    assert s["gt_mask"].shape == (64, 64)
+    assert s["is_crowd"] == 0
+    assert s["gt_mask"].sum() > 0
+    np.testing.assert_array_equal(rle_ops.decode(s["gt_mask_rle"]),
+                                  s["gt_mask"])

@@ -64,3 +64,33 @@ def test_polygon_rasterisation():
     m = rle.decode(r)
     assert m[3, 3] == 1 and m[0, 0] == 0
     assert m.sum() >= 25
+
+
+def test_native_matches_numpy_codec():
+    """The C extension and the numpy fallback must produce identical
+    bytes and masks."""
+    from simvg_tpu.native import get_rle_ext
+    from simvg_tpu.ops.rle import _decode_counts, _encode_counts
+
+    ext = get_rle_ext()
+    if ext is None:
+        import pytest
+
+        pytest.skip("native extension unavailable")
+    r = np.random.default_rng(3)
+    for _ in range(5):
+        m = (r.random((64, 48)) > 0.7).astype(np.uint8)
+        flat = np.asfortranarray(m).reshape(-1, order="F")
+        changes = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+        bounds = np.concatenate([[0], changes, [flat.size]])
+        runs = np.diff(bounds)
+        if flat[0]:
+            runs = np.concatenate([[0], runs])
+        native_runs = ext.runs_from_mask(
+            np.ascontiguousarray(flat).tobytes())
+        np.testing.assert_array_equal(native_runs, runs)
+        assert ext.encode_counts([int(x) for x in runs]) == \
+            _encode_counts(runs)
+        enc = _encode_counts(runs)
+        np.testing.assert_array_equal(ext.decode_counts(enc),
+                                      _decode_counts(enc))
