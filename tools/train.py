@@ -27,6 +27,12 @@ def parse_args():
     p.add_argument("--resume-from", default=None)
     p.add_argument("--load-from", default=None)
     p.add_argument("--finetune-from", default=None)
+    p.add_argument("--auto-resume", action="store_true",
+                   help="resume from <work_dir>/latest if present "
+                        "(crash recovery)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() from "
+                        "the standard env (COORDINATOR_ADDRESS etc.)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu for smoke tests)")
@@ -55,6 +61,11 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.distributed or os.environ.get("COORDINATOR_ADDRESS"):
+        # multi-host data parallelism: one process per host over DCN,
+        # devices over ICI (replaces torch.distributed.run + NCCL,
+        # SURVEY.md §2.8)
+        jax.distributed.initialize()
 
     import jax.numpy as jnp
     import numpy as np
@@ -77,6 +88,10 @@ def main():
     cfg = Config.fromfile(args.config)
     cfg.merge_from_dict(_parse_options(args.cfg_options))
     seed = args.seed if args.seed is not None else cfg.get("seed", 6666)
+    if cfg.get("debug_nans", False):
+        # sanitizer equivalent (SURVEY.md §5 race-detection row): abort
+        # with a traceback on the first NaN produced under jit
+        jax.config.update("jax_debug_nans", True)
 
     work_dir = args.work_dir or cfg.get("work_dir") or osp.join(
         "work_dir", osp.splitext(osp.basename(args.config))[0]
@@ -161,6 +176,14 @@ def main():
     state = create_train_state(params, tx, ema=use_ema)
     del params
 
+    if args.auto_resume and not args.resume_from:
+        from simvg_tpu.utils.checkpoint import latest_checkpoint
+
+        latest = latest_checkpoint(work_dir)
+        if latest:
+            args.resume_from = latest
+            logger.info(f"auto-resume: found {latest}")
+
     start_epoch = 0
     if args.resume_from:
         ck = load_checkpoint(args.resume_from,
@@ -210,6 +233,16 @@ def main():
     best_acc = -1.0
     step_rng = jax.random.PRNGKey(seed + 1)
 
+    import json as _json
+
+    metrics_path = osp.join(work_dir, "metrics.jsonl")
+
+    def emit_metrics(kind, payload):
+        """Structured metric stream (observability; replaces the
+        reference's unused wandb dependency)."""
+        with open(metrics_path, "a") as f:
+            f.write(_json.dumps({"kind": kind, **payload}) + "\n")
+
     for epoch in range(start_epoch, max_epoch):
         train_loader.set_epoch(epoch)
         t_ep = time.time()
@@ -229,6 +262,8 @@ def main():
                     f"[{it + 1}/{steps_per_epoch}] "
                     f"data_time: {data_time:.3f}, {msg}"
                 )
+                emit_metrics("train", {"epoch": epoch + 1, "iter": it + 1,
+                                       "data_time": data_time, **s})
             t_data = time.time()
         logger.info(f"epoch {epoch + 1} done in "
                     f"{time.time() - t_ep:.1f}s")
@@ -242,6 +277,8 @@ def main():
                 logger.info(f"eval[{split}] epoch {epoch + 1}: " + ", ".join(
                     f"{k}: {v:.2f}" for k, v in metrics.items()
                 ))
+                emit_metrics("eval", {"epoch": epoch + 1, "split": split,
+                                      **metrics})
                 if use_ema and state.ema_params is not None:
                     m_ema = evaluate(model, state.ema_params, loader,
                                      is_grec=is_grec)
