@@ -86,4 +86,5 @@ def build_loader_from_cfg(dataset: BaseDataset, cfg, *, train: bool,
         drop_last=train,
         num_workers=data.get("workers_per_gpu", 8),
         seed=seed,
+        text_buckets=cfg.get("text_buckets"),
     )

@@ -34,7 +34,8 @@ import numpy as np
 
 
 def collate(samples: List[dict], canvas: int, max_gt: int = 1,
-            valid: Optional[List[bool]] = None) -> Dict:
+            valid: Optional[List[bool]] = None,
+            text_buckets: Optional[List[int]] = None) -> Dict:
     b = len(samples)
     image = np.zeros((b, canvas, canvas, 3), np.float32)
     img_shape = np.zeros((b, 2), np.int32)
@@ -78,6 +79,18 @@ def collate(samples: List[dict], canvas: int, max_gt: int = 1,
             "is_crowd": s.get("is_crowd"),
         })
 
+    if text_buckets:
+        # Pad-length bucketing: shrink the text axis to the smallest
+        # bucket covering the longest real expression in the batch.
+        # Each bucket is its own jit specialisation (2-3 buckets total),
+        # so short expressions skip the attention cost of the full
+        # max_token padding.
+        real = int((text_mask == 0).sum(axis=1).max()) if b else 0
+        fit = [bk for bk in sorted(text_buckets) if bk >= real]
+        bucket = min(fit[0] if fit else t, t)
+        text_ids = text_ids[:, :bucket]
+        text_mask = text_mask[:, :bucket]
+
     return {
         "image": image,
         "text_ids": text_ids,
@@ -108,6 +121,7 @@ class DataLoader:
         seed: int = 6666,
         shard_id: int = 0,
         num_shards: int = 1,
+        text_buckets: Optional[List[int]] = None,
     ):
         self.ds = dataset
         self.bs = batch_size
@@ -120,6 +134,7 @@ class DataLoader:
         self.seed = seed
         self.shard_id = shard_id
         self.num_shards = num_shards
+        self.text_buckets = text_buckets
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -179,7 +194,8 @@ class DataLoader:
                 valid = valid + [False] * (len(idx_list) - len(valid))
             with ThreadPoolExecutor(self.num_workers) as ex:
                 samples = list(ex.map(self.ds.__getitem__, idx_list))
-            return collate(samples, self.canvas, self.max_gt, valid)
+            return collate(samples, self.canvas, self.max_gt, valid,
+                           text_buckets=self.text_buckets)
 
         # double-buffer: build batch k+1 while k is consumed
         from concurrent.futures import ThreadPoolExecutor as TPE

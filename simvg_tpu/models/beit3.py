@@ -54,6 +54,9 @@ class BEiT3Config:
     layernorm_eps: float = 1e-5
     dtype: Any = jnp.float32  # compute dtype; params are always fp32
     attn_impl: str = "xla"  # "xla" | "pallas" (fused kernel)
+    remat: bool = False  # rematerialise encoder layers (activation
+    # checkpointing; trades FLOPs for HBM like the reference's
+    # checkpoint_activations flag, beit3_base.py:311-312)
 
     @property
     def num_patches(self) -> int:
@@ -329,8 +332,12 @@ class BEiT3Encoder(nn.Module):
             float(r)
             for r in np.linspace(0.0, cfg.drop_path_rate, cfg.num_layers)
         ]
+        layer_cls = (
+            nn.remat(EncoderLayer, static_argnums=(2, 4))
+            if cfg.remat else EncoderLayer
+        )
         for i in range(cfg.num_layers):
-            x = EncoderLayer(cfg, drop_path_rate=dpr[i], name=f"layers_{i}")(
+            x = layer_cls(cfg, drop_path_rate=dpr[i], name=f"layers_{i}")(
                 x, split, pad, deterministic
             )
 

@@ -1,0 +1,109 @@
+"""Legacy language encoders (GRU/LSTM over word embeddings).
+
+Functional equivalent of the reference's lan_enc family
+(simvg/models/lan_encs/lstm.py:6-78): a (bi)GRU over frozen-or-trainable
+word embeddings with mean/max/default/original pooling.  SimVG's shipped
+configs set ``lan_enc=None`` (BEiT-3 encodes text jointly), but the
+component remains available for SeqTR-style compositions.
+
+The recurrence is a ``lax.scan`` over the token axis — sequential by
+nature, but max_token <= 64 keeps it off the critical path; all gate
+math is batched matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class GRU(nn.Module):
+    hidden_size: int
+    reverse: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C]
+        dd = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        # input projections for ALL timesteps at once (one big matmul
+        # on the MXU); only the recurrence stays sequential
+        gi_all = nn.Dense(3 * self.hidden_size, name="ih", **dd)(x)
+        w_hh = self.param(
+            "hh_kernel", nn.initializers.lecun_normal(),
+            (self.hidden_size, 3 * self.hidden_size), jnp.float32,
+        ).astype(self.dtype)
+        b_hh = self.param(
+            "hh_bias", nn.initializers.zeros, (3 * self.hidden_size,),
+            jnp.float32,
+        ).astype(self.dtype)
+
+        def step(h, gi):
+            gh = h @ w_hh + b_hh
+            i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+            h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+            r = jax.nn.sigmoid(i_r + h_r)
+            z = jax.nn.sigmoid(i_z + h_z)
+            n = jnp.tanh(i_n + r * h_n)
+            h_new = (1 - z) * n + z * h
+            return h_new, h_new
+
+        gis = jnp.swapaxes(gi_all, 0, 1)  # [T, B, 3H]
+        if self.reverse:
+            gis = gis[::-1]
+        h0 = jnp.zeros((x.shape[0], self.hidden_size), self.dtype)
+        _, ys = jax.lax.scan(step, h0, gis)
+        if self.reverse:
+            ys = ys[::-1]
+        return jnp.swapaxes(ys, 0, 1)
+
+
+class LSTMLanguageEncoder(nn.Module):
+    """lan_encs.LSTM equivalent (GRU cells, optionally bidirectional)."""
+
+    vocab_size: int
+    word_emb_dim: int = 300
+    hidden_size: int = 512
+    bidirectional: bool = True
+    output_type: str = "max"  # mean | max | default | original
+    word_emb: Optional[jnp.ndarray] = None  # pretrained [V, C] (GloVe)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, ref_expr_inds: jnp.ndarray):
+        y_mask = jnp.abs(ref_expr_inds) == 0  # True = padding
+
+        if self.word_emb is not None:
+            emb_init = lambda *_: jnp.asarray(self.word_emb, jnp.float32)
+        else:
+            emb_init = nn.initializers.normal(0.02)
+        embed = nn.Embed(self.vocab_size, self.word_emb_dim,
+                         embedding_init=emb_init, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="embedding")
+        y_word = embed(ref_expr_inds)
+
+        fwd = GRU(self.hidden_size, dtype=self.dtype, name="gru_fwd")(
+            y_word)
+        if self.bidirectional:
+            bwd = GRU(self.hidden_size, reverse=True, dtype=self.dtype,
+                      name="gru_bwd")(y_word)
+            y_word = jnp.concatenate([fwd, bwd], axis=-1)
+        else:
+            y_word = fwd
+
+        valid = (~y_mask)[..., None]
+        if self.output_type == "mean":
+            y = (y_word * valid).sum(1) / jnp.maximum(valid.sum(1), 1)
+            y = y[:, None]
+        elif self.output_type == "max":
+            neg = jnp.asarray(-1e30, y_word.dtype)
+            y = jnp.where(valid, y_word, neg).max(axis=1)[:, None]
+        elif self.output_type == "default":
+            y = y_word[:, -1:][:, None].squeeze(1)
+        elif self.output_type == "original":
+            return {"text_feat": y_word, "text_mask": y_mask}
+        else:
+            raise ValueError(self.output_type)
+        return y
