@@ -35,6 +35,44 @@ class TrainState(flax.struct.PyTreeNode):
     ema_step: Optional[jnp.ndarray] = None
 
 
+def cosine_annealing_lr(
+    base_lr: float,
+    steps_per_epoch: int,
+    t_max: int,
+    eta_min: float = 0.0,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """CosineAnnealingLR over epochs (simvg/core/scheduler.py:47-60)."""
+
+    def schedule(step):
+        epoch = jnp.minimum(step // steps_per_epoch, t_max)
+        return eta_min + 0.5 * (base_lr - eta_min) * (
+            1.0 + jnp.cos(jnp.pi * epoch / t_max)
+        )
+
+    return schedule
+
+
+def cosine_annealing_warm_restarts(
+    base_lr: float,
+    steps_per_epoch: int,
+    t_0: int,
+    t_mult: int = 1,
+    eta_min: float = 0.0,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """CosineAnnealingWarmRestarts (simvg/core/scheduler.py:63-78);
+    t_mult=1 keeps the restart period fixed (the general case needs
+    log-time math that optax's own schedule provides if ever needed)."""
+    assert t_mult == 1, "only t_mult=1 supported"
+
+    def schedule(step):
+        epoch = (step // steps_per_epoch) % t_0
+        return eta_min + 0.5 * (base_lr - eta_min) * (
+            1.0 + jnp.cos(jnp.pi * epoch / t_0)
+        )
+
+    return schedule
+
+
 def multistep_lr_warmup(
     base_lr: float,
     steps_per_epoch: int,
@@ -104,20 +142,51 @@ def create_optimizer(
     decay_steps: Sequence[int] = (25,),
     decay_ratio: float = 0.1,
     freeze_layer: int = -1,
+    optimizer_type: str = "Adam",
+    scheduler_type: str = "MultiStepLRWarmUp",
+    scheduler_kw: Optional[Dict] = None,
+    amsgrad: bool = True,
+    weight_decay: float = 0.0,
+    momentum: float = 0.9,
 ) -> optax.GradientTransformation:
     lr_vis_enc = lr / 10.0 if lr_vis_enc is None else lr_vis_enc
     lr_lan_enc = lr if lr_lan_enc is None else lr_lan_enc
+    scheduler_kw = scheduler_kw or {}
+
+    def mk_schedule(base):
+        if scheduler_type == "MultiStepLRWarmUp":
+            return multistep_lr_warmup(base, steps_per_epoch,
+                                       warmup_epochs, decay_steps,
+                                       decay_ratio)
+        if scheduler_type == "CosineAnnealingLR":
+            return cosine_annealing_lr(
+                base, steps_per_epoch, scheduler_kw.get("T_max", 30),
+                scheduler_kw.get("eta_min", 0.0))
+        if scheduler_type == "CosineAnnealingLRWarmRestarts":
+            return cosine_annealing_warm_restarts(
+                base, steps_per_epoch, scheduler_kw.get("T_0", 10),
+                scheduler_kw.get("T_mult", 1),
+                scheduler_kw.get("eta_min", 0.0))
+        raise ValueError(f"unknown scheduler {scheduler_type!r}")
 
     def mk(base):
-        return optax.amsgrad(
-            learning_rate=multistep_lr_warmup(
-                base, steps_per_epoch, warmup_epochs, decay_steps,
-                decay_ratio
-            ),
-            b1=betas[0],
-            b2=betas[1],
-            eps=eps,
-        )
+        sched = mk_schedule(base)
+        # optimizer registry parity (simvg/core/optimizer.py:1-87)
+        if optimizer_type == "Adam" and amsgrad:
+            return optax.amsgrad(learning_rate=sched, b1=betas[0],
+                                 b2=betas[1], eps=eps)
+        if optimizer_type == "Adam":
+            return optax.adam(learning_rate=sched, b1=betas[0],
+                              b2=betas[1], eps=eps)
+        if optimizer_type == "AdamW":
+            return optax.adamw(learning_rate=sched, b1=betas[0],
+                               b2=betas[1], eps=eps,
+                               weight_decay=weight_decay)
+        if optimizer_type == "SGD":
+            return optax.sgd(learning_rate=sched, momentum=momentum)
+        if optimizer_type == "RMSProp":
+            return optax.rmsprop(learning_rate=sched, momentum=momentum)
+        raise ValueError(f"unknown optimizer {optimizer_type!r}")
 
     transforms = {
         "vis_enc": mk(lr_vis_enc),

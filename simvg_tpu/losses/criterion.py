@@ -122,6 +122,37 @@ def _ce_loss(
     return (w * nll).sum() / jnp.maximum(w.sum(), 1e-12)
 
 
+def _focal_loss(
+    logits: jnp.ndarray,  # [B, Q, C+1] (last column = no-object, unused)
+    col4row: jnp.ndarray,
+    targets: Targets,
+    num_classes: int,
+    num_boxes: jnp.ndarray,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> jnp.ndarray:
+    """"focal_loss" class type (criterion.py:31-59, 138-158): sigmoid
+    focal loss on one-hot targets over the real classes, mean over
+    classes, sum over queries / num_boxes, x num_queries."""
+    matched = col4row >= 0
+    tgt_cls = jnp.where(
+        matched,
+        jnp.take_along_axis(targets.labels, jnp.clip(col4row, 0), axis=1),
+        num_classes,
+    )
+    onehot = jax.nn.one_hot(tgt_cls, num_classes + 1)[..., :-1]
+    x = logits[..., :-1].astype(jnp.float32)
+    prob = jax.nn.sigmoid(x)
+    ce = jnp.maximum(x, 0) - x * onehot + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    p_t = prob * onehot + (1 - prob) * (1 - onehot)
+    loss = ce * (1 - p_t) ** gamma
+    alpha_t = alpha * onehot + (1 - alpha) * (1 - onehot)
+    loss = alpha_t * loss
+    # reference: loss.mean(1).sum()/num_boxes * num_queries, which
+    # algebraically reduces to the plain sum / num_boxes
+    return loss.sum() / num_boxes
+
+
 def _weighted_ce_loss(
     logits, col4row, row4col, targets: Targets, num_classes: int,
     eos_coef: float,
@@ -225,6 +256,9 @@ def set_criterion(
         if loss_class_type == "weighted_ce_loss":
             lc = _weighted_ce_loss(logits, col4row, row4col, targets,
                                    num_classes, eos_coef)
+        elif loss_class_type == "focal_loss":
+            lc = _focal_loss(logits, col4row, targets, num_classes,
+                             num_boxes)
         else:
             lc = _ce_loss(logits, col4row, targets, num_classes, eos_coef)
         lb, lg = _box_losses(boxes, col4row, targets, num_boxes,

@@ -61,8 +61,9 @@ def main():
     dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else jnp.float32
     model, _ = build_model(cfg.model, img_size=img_size, dtype=dtype)
 
-    splits = [s for s in ("val", "testA", "testB", "test")
-              if s in cfg.data]
+    splits = [s for s in cfg.data
+              if s not in ("train", "samples_per_gpu",
+                           "workers_per_gpu")]
     loaders = {}
     tokenizer = None
     for s in splits:

@@ -115,16 +115,18 @@ def main():
         seed=seed,
     )
     val_loaders = {}
-    for split in ("val", "testA", "testB", "test"):
-        if split in cfg.data:
-            ds = build_dataset_from_cfg(cfg.data[split],
-                                        dataset_type=cfg.get("dataset"),
-                                        tokenizer=train_ds.tokenizer,
-                                        seed=seed)
-            val_loaders[split] = build_loader_from_cfg(
-                ds, cfg, train=False, canvas=img_size, max_gt=max_gt,
-                seed=seed,
-            )
+    eval_splits = [k for k in cfg.data
+                   if k not in ("train", "samples_per_gpu",
+                                "workers_per_gpu")]
+    for split in eval_splits:
+        ds = build_dataset_from_cfg(cfg.data[split],
+                                    dataset_type=cfg.get("dataset"),
+                                    tokenizer=train_ds.tokenizer,
+                                    seed=seed)
+        val_loaders[split] = build_loader_from_cfg(
+            ds, cfg, train=False, canvas=img_size, max_gt=max_gt,
+            seed=seed,
+        )
 
     # ---- model
     dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else jnp.float32
@@ -171,6 +173,11 @@ def main():
         decay_steps=tuple(sch_cfg.get("decay_steps", (25,))),
         decay_ratio=sch_cfg.get("decay_ratio", 0.1),
         freeze_layer=loss_cfg.get("freeze_layer", -1),
+        optimizer_type=opt_cfg.get("type", "Adam"),
+        scheduler_type=sch_cfg.get("type", "MultiStepLRWarmUp"),
+        scheduler_kw=dict(sch_cfg),
+        amsgrad=opt_cfg.get("amsgrad", True),
+        weight_decay=opt_cfg.get("weight_decay", 0.0),
     )
     use_ema = cfg.get("ema", False)
     state = create_train_state(params, tx, ema=use_ema)
@@ -287,7 +294,9 @@ def main():
                         + ", ".join(f"{k}: {v:.2f}"
                                     for k, v in m_ema.items())
                     )
-                if split == "val":
+                if split == (("val" if "val" in val_loaders
+                              else (eval_splits[0] if eval_splits
+                                    else None))):
                     acc = metrics["det_acc"]
                     if acc > best_acc:
                         best_acc = acc
