@@ -56,7 +56,7 @@ class DetrAttention(nn.Module):
         k = nn.Dense(self.embed_dim, name="k_proj", **dd)(k_in)
         v = nn.Dense(self.embed_dim, name="v_proj", **dd)(value)
 
-        out = multihead_attention(
+        out, weights = multihead_attention(
             q, k, v,
             num_heads=self.num_heads,
             key_padding_mask=key_padding_mask,
@@ -66,7 +66,12 @@ class DetrAttention(nn.Module):
             if deterministic or self.attn_dropout == 0.0
             else self.make_rng("dropout"),
             dtype=self.dtype,
+            return_weights=True,
         )
+        # Exposed for attention visualisation (the reference hooks
+        # `visualizer.get_local`, apis/inference.py:107-137); only
+        # materialised when apply() makes "intermediates" mutable.
+        self.sow("intermediates", "attn_weights", weights)
         out = nn.Dense(self.embed_dim, name="out_proj", **dd)(out)
         return query + out  # identity residual (detrex MultiheadAttention)
 

@@ -38,6 +38,7 @@ def multihead_attention(
     dropout_rng: Optional[jax.Array] = None,
     dtype: Any = jnp.float32,
     impl: str = "xla",
+    return_weights: bool = False,
 ) -> jnp.ndarray:
     """Batched multi-head attention.
 
@@ -64,7 +65,7 @@ def multihead_attention(
     k = k.reshape(b, s_k, num_heads, head_dim).astype(dtype)
     v = v.reshape(b, s_k, num_heads, head_dim).astype(dtype)
 
-    if impl == "pallas":
+    if impl == "pallas" and not return_weights:
         from simvg_tpu.ops.pallas_attention import fused_attention
 
         out = fused_attention(q, k, v, key_padding_mask=key_padding_mask,
@@ -90,4 +91,7 @@ def multihead_attention(
     probs = probs.astype(dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                      preferred_element_type=jnp.float32)
-    return out.reshape(b, s_q, d).astype(dtype)
+    out = out.reshape(b, s_q, d).astype(dtype)
+    if return_weights:
+        return out, probs  # [B, H, S_q, S_k]
+    return out

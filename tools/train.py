@@ -183,6 +183,18 @@ def main():
     state = create_train_state(params, tx, ema=use_ema)
     del params
 
+    # CLI flags take precedence; config keys (reference _base_/misc.py)
+    # are the fallback so two-stage configs' load_from works untouched
+    args.resume_from = args.resume_from or cfg.get("resume_from")
+    args.load_from = args.load_from or cfg.get("load_from")
+    args.finetune_from = args.finetune_from or cfg.get("finetune_from")
+    for attr in ("load_from", "finetune_from"):
+        v = getattr(args, attr)
+        if v and not osp.exists(v):
+            logger.warning(f"{attr}={v!r} does not exist; ignoring "
+                           "(placeholder path in config?)")
+            setattr(args, attr, None)
+
     if args.auto_resume and not args.resume_from:
         from simvg_tpu.utils.checkpoint import latest_checkpoint
 
