@@ -60,6 +60,55 @@ class GRU(nn.Module):
         return jnp.swapaxes(ys, 0, 1)
 
 
+class BERTLanguageEncoder(nn.Module):
+    """"ALBERTA"-style HF transformer language encoder
+    (simvg/models/lan_encs/bert.py): a small pre-LN transformer over
+    subword ids.  The reference wraps HF roberta (torch); here the same
+    role is filled by a native flax encoder so the whole model stays one
+    jit-compiled program (weights can be converted from any HF BERT-like
+    checkpoint with the standard Linear/LN mapping)."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 256
+    num_layers: int = 3
+    num_heads: int = 8
+    max_positions: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray, padding_mask=None):
+        from simvg_tpu.ops.attention import multihead_attention
+
+        dd = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        if padding_mask is None:
+            padding_mask = (ids == 0).astype(jnp.int32)
+        x = nn.Embed(self.vocab_size, self.hidden_size,
+                     param_dtype=jnp.float32, dtype=self.dtype,
+                     name="word_embeddings")(ids)
+        pos = nn.Embed(self.max_positions, self.hidden_size,
+                       param_dtype=jnp.float32, dtype=self.dtype,
+                       name="position_embeddings")(
+            jnp.arange(ids.shape[1]))
+        x = nn.LayerNorm(dtype=jnp.float32, name="embeddings_ln")(
+            x + pos).astype(self.dtype)
+        for i in range(self.num_layers):
+            h = nn.LayerNorm(dtype=jnp.float32, name=f"ln1_{i}")(
+                x).astype(self.dtype)
+            q = nn.Dense(self.hidden_size, name=f"q_{i}", **dd)(h)
+            k = nn.Dense(self.hidden_size, name=f"k_{i}", **dd)(h)
+            v = nn.Dense(self.hidden_size, name=f"v_{i}", **dd)(h)
+            a = multihead_attention(q, k, v, num_heads=self.num_heads,
+                                    key_padding_mask=padding_mask,
+                                    dtype=self.dtype)
+            x = x + nn.Dense(self.hidden_size, name=f"o_{i}", **dd)(a)
+            h = nn.LayerNorm(dtype=jnp.float32, name=f"ln2_{i}")(
+                x).astype(self.dtype)
+            h = nn.Dense(4 * self.hidden_size, name=f"fc1_{i}", **dd)(h)
+            h = nn.gelu(h)
+            x = x + nn.Dense(self.hidden_size, name=f"fc2_{i}", **dd)(h)
+        return {"text_feat": x, "text_mask": padding_mask.astype(bool)}
+
+
 class LSTMLanguageEncoder(nn.Module):
     """lan_encs.LSTM equivalent (GRU cells, optionally bidirectional)."""
 
