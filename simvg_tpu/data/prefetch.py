@@ -1,0 +1,53 @@
+"""Device prefetching: overlap host->device transfer with compute.
+
+The loader double-buffers batch CONSTRUCTION on host; this utility also
+overlaps the PCIe/ICI transfer by asynchronously device_put-ting the
+next batch(es) while the current step runs.  Optionally converts images
+to uint8 on host and normalises on device ("normalize_on_device"): a
+640x640x3 image is 1.2 MB as uint8 vs 4.9 MB as f32 — 4x less host
+bandwidth per sample.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def device_prefetch(it: Iterator[Dict], size: int = 2,
+                    sharding=None) -> Iterator[Dict]:
+    """Yields batches already resident on device, `size` batches ahead.
+    `meta` (host-only) is passed through untouched."""
+    buf = deque()
+
+    def put(batch):
+        dev = {
+            k: (jax.device_put(v, sharding) if sharding is not None
+                else jax.device_put(v))
+            for k, v in batch.items() if k != "meta"
+        }
+        dev["meta"] = batch.get("meta")
+        return dev
+
+    for batch in it:
+        buf.append(put(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
+def normalize_images_on_device(images_u8: jnp.ndarray, mean, std,
+                               to_rgb: bool = True) -> jnp.ndarray:
+    """uint8 BGR canvas -> normalised f32, fused into the device graph
+    (Normalize semantics, data/transforms.py)."""
+    x = images_u8.astype(jnp.float32)
+    if to_rgb:
+        x = x[..., ::-1]
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (x - mean) / std

@@ -90,6 +90,9 @@ class TGQSKDDETRHead(nn.Module):
         text_feat: jnp.ndarray,  # [B, T, in_channels]
         text_mask: jnp.ndarray,  # [B, T]; nonzero = padded token
         deterministic: bool = True,
+        branches: str = "both",  # "both" | "token" | "decoder";
+        # "token" skips the DETR decoder entirely — the paper's fast
+        # serving path (token branch only).
     ):
         cfg = self.cfg
         dd = dict(dtype=cfg.dtype, param_dtype=jnp.float32)
@@ -166,71 +169,92 @@ class TGQSKDDETRHead(nn.Module):
             query_embed = query_embed_input
 
         # ---- token branch (tgqs_kd_detr_head.py:411-420)
-        if cfg.num_token_mlp_layers > 0:
-            token_feats = MLP(
-                cfg.embed_dim,
-                cfg.embed_dim,
-                cfg.num_token_mlp_layers,
-                return_intermediate=True,
-                dtype=cfg.dtype,
-                name="mlp",
-            )(cls_q)  # [L_mlp, B, Q, D]
+        if branches != "decoder":
+            if cfg.num_token_mlp_layers > 0:
+                token_feats = MLP(
+                    cfg.embed_dim,
+                    cfg.embed_dim,
+                    cfg.num_token_mlp_layers,
+                    return_intermediate=True,
+                    dtype=cfg.dtype,
+                    name="mlp",
+                )(cls_q)  # [L_mlp, B, Q, D]
+            else:
+                token_feats = cls_q[None]
+            class_token = nn.Dense(
+                cfg.num_classes + 1, name="class_embed_token", **dd
+            )(token_feats)
+            bbox_token = nn.sigmoid(
+                MLP(cfg.embed_dim, 4, 3, dtype=cfg.dtype,
+                    name="bbox_embed_token")(
+                    token_feats).astype(jnp.float32)
+            )
         else:
             token_feats = cls_q[None]
-
-        class_token = nn.Dense(
-            cfg.num_classes + 1, name="class_embed_token", **dd
-        )(token_feats)
-        bbox_token = nn.sigmoid(
-            MLP(cfg.embed_dim, 4, 3, dtype=cfg.dtype,
-                name="bbox_embed_token")(token_feats).astype(jnp.float32)
-        )
+            class_token = jnp.zeros(
+                (1, b, cfg.num_queries, cfg.num_classes + 1), jnp.float32
+            )
+            bbox_token = jnp.full((1, b, cfg.num_queries, 4), 0.5,
+                                  jnp.float32)
 
         # ---- decoder branch (tgqs_kd_detr_head.py:425-433)
-        memory = x.reshape(b, h * w, cfg.embed_dim)
-        mem_pos = pos_embed.reshape(b, h * w, cfg.embed_dim)
-        mem_mask = img_pad_mask.reshape(b, h * w)
-        if not cfg.only_decoder:
-            memory = DetrEncoder(
+        if branches != "token":
+            memory = x.reshape(b, h * w, cfg.embed_dim)
+            mem_pos = pos_embed.reshape(b, h * w, cfg.embed_dim)
+            mem_mask = img_pad_mask.reshape(b, h * w)
+            if not cfg.only_decoder:
+                memory = DetrEncoder(
+                    embed_dim=cfg.embed_dim,
+                    num_heads=8,
+                    feedforward_dim=2048,
+                    num_layers=cfg.num_encoder_layers,
+                    attn_dropout=cfg.attn_dropout,
+                    ffn_dropout=cfg.ffn_dropout,
+                    post_norm=False,
+                    dtype=cfg.dtype,
+                    name="encoder",
+                )(memory, query_pos=mem_pos,
+                  query_key_padding_mask=mem_mask,
+                  deterministic=deterministic)
+
+            hidden_states = DetrDecoder(
                 embed_dim=cfg.embed_dim,
                 num_heads=8,
                 feedforward_dim=2048,
-                num_layers=cfg.num_encoder_layers,
+                num_layers=cfg.num_decoder_layers,
                 attn_dropout=cfg.attn_dropout,
                 ffn_dropout=cfg.ffn_dropout,
-                post_norm=False,
+                post_norm=True,
+                return_intermediate=True,
                 dtype=cfg.dtype,
-                name="encoder",
-            )(memory, query_pos=mem_pos, query_key_padding_mask=mem_mask,
-              deterministic=deterministic)
+                name="decoder",
+            )(
+                jnp.zeros_like(query_embed),
+                memory,
+                query_pos=query_embed,
+                key_pos=mem_pos,
+                key_padding_mask=mem_mask,
+                deterministic=deterministic,
+            )  # [L_dec, B, Q, D]
 
-        hidden_states = DetrDecoder(
-            embed_dim=cfg.embed_dim,
-            num_heads=8,
-            feedforward_dim=2048,
-            num_layers=cfg.num_decoder_layers,
-            attn_dropout=cfg.attn_dropout,
-            ffn_dropout=cfg.ffn_dropout,
-            post_norm=True,
-            return_intermediate=True,
-            dtype=cfg.dtype,
-            name="decoder",
-        )(
-            jnp.zeros_like(query_embed),
-            memory,
-            query_pos=query_embed,
-            key_pos=mem_pos,
-            key_padding_mask=mem_mask,
-            deterministic=deterministic,
-        )  # [L_dec, B, Q, D]
-
-        class_decoder = nn.Dense(
-            cfg.num_classes + 1, name="class_embed_decoder", **dd
-        )(hidden_states)
-        bbox_decoder = nn.sigmoid(
-            MLP(cfg.embed_dim, 4, 3, dtype=cfg.dtype,
-                name="bbox_embed_decoder")(hidden_states).astype(jnp.float32)
-        )
+            class_decoder = nn.Dense(
+                cfg.num_classes + 1, name="class_embed_decoder", **dd
+            )(hidden_states)
+            bbox_decoder = nn.sigmoid(
+                MLP(cfg.embed_dim, 4, 3, dtype=cfg.dtype,
+                    name="bbox_embed_decoder")(
+                    hidden_states).astype(jnp.float32)
+            )
+        else:
+            ld = cfg.num_decoder_layers
+            hidden_states = jnp.zeros(
+                (ld, b, cfg.num_queries, cfg.embed_dim), cfg.dtype
+            )
+            class_decoder = jnp.zeros(
+                (ld, b, cfg.num_queries, cfg.num_classes + 1), jnp.float32
+            )
+            bbox_decoder = jnp.full((ld, b, cfg.num_queries, 4), 0.5,
+                                    jnp.float32)
 
         return {
             # [L, B, Q, C+1] / [L, B, Q, 4]; last layer = final prediction

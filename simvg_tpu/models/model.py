@@ -69,6 +69,7 @@ class SimVGModel(nn.Module):
         text_padding_mask: jnp.ndarray,
         img_shape: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        branches: str = "both",
     ) -> Dict[str, jnp.ndarray]:
         b, h_img, w_img, _ = image.shape
         ps = self.cfg.beit3.patch_size
@@ -90,6 +91,7 @@ class SimVGModel(nn.Module):
             text_feat,
             text_padding_mask,
             deterministic=deterministic,
+            branches=branches,
         )
         return out
 

@@ -33,7 +33,7 @@ _NEG = -1e30
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
-    # q [1, block_q, hd]; k/v [1, Sk, hd]; bias [1, Sk] additive (f32)
+    # q [1, block_q, hd]; k/v [1, Sk, hd]; bias [1, 1, Sk] additive (f32)
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -42,7 +42,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    logits = logits + bias_ref[0][None, :]
+    logits = logits + bias_ref[0]  # [1, Sk] broadcasts over block_q
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
@@ -90,7 +90,9 @@ def fused_attention(
     else:
         pad = key_padding_mask.astype(bool)
     pad = jnp.pad(pad, ((0, 0), (0, sk_p - sk)), constant_values=True)
-    bias = jnp.where(pad, _NEG, 0.0).astype(jnp.float32)  # [B, Sk_p]
+    # [B, 1, Sk_p]: 3-D so the (1, sk_p) block satisfies the TPU
+    # last-two-dims tiling constraint (dims equal to the array's).
+    bias = jnp.where(pad, _NEG, 0.0).astype(jnp.float32)[:, None, :]
 
     # [B, S, H, hd] -> [B*H, S, hd]: TPU block specs need the last two
     # dims tile-aligned, so heads move into the grid axis.
@@ -106,7 +108,7 @@ def fused_attention(
             pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0)),
             pl.BlockSpec((1, sk_p, hd), lambda bh, qi: (bh, 0, 0)),
             pl.BlockSpec((1, sk_p, hd), lambda bh, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, sk_p), lambda bh, qi: (bh // h, 0)),
+            pl.BlockSpec((1, 1, sk_p), lambda bh, qi: (bh // h, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, hd),
                                lambda bh, qi: (bh, qi, 0)),
