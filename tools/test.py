@@ -86,14 +86,21 @@ def main():
                          with_ema=args.with_ema)
     params = ck["params"]
 
+    import jax as _jax
+
+    from simvg_tpu.engine.train import make_eval_step
+
+    eval_step = _jax.jit(make_eval_step(model))
     for s, loader in loaders.items():
         m = evaluate(model, params, loader, is_grec=is_grec,
+                     eval_step=eval_step,
                      log_fn=logger.info,
                      log_interval=cfg.get("log_interval", 50))
         logger.info(f"[{s}] " + ", ".join(
             f"{k}: {v:.2f}" for k, v in m.items()))
         if args.with_ema and ck.get("ema_params") is not None:
-            m = evaluate(model, ck["ema_params"], loader, is_grec=is_grec)
+            m = evaluate(model, ck["ema_params"], loader,
+                         is_grec=is_grec, eval_step=eval_step)
             logger.info(f"[{s}][EMA] " + ", ".join(
                 f"{k}: {v:.2f}" for k, v in m.items()))
 

@@ -232,6 +232,9 @@ def main():
         state = state.replace(params=ck["params"])
         logger.info(f"finetuned from {args.finetune_from}")
 
+    from simvg_tpu.engine.train import make_eval_step
+
+    eval_step = jax.jit(make_eval_step(model))  # compiled once, reused
     train_step = jax.jit(
         make_train_step(
             model,
@@ -291,6 +294,7 @@ def main():
             for split, loader in val_loaders.items():
                 metrics = evaluate(model, state.params, loader,
                                    is_grec=is_grec,
+                                   eval_step=eval_step,
                                    log_fn=logger.info,
                                    log_interval=log_interval)
                 logger.info(f"eval[{split}] epoch {epoch + 1}: " + ", ".join(
@@ -300,7 +304,8 @@ def main():
                                       **metrics})
                 if use_ema and state.ema_params is not None:
                     m_ema = evaluate(model, state.ema_params, loader,
-                                     is_grec=is_grec)
+                                     is_grec=is_grec,
+                                     eval_step=eval_step)
                     logger.info(
                         f"eval[{split}][EMA] epoch {epoch + 1}: "
                         + ", ".join(f"{k}: {v:.2f}"
