@@ -265,11 +265,15 @@ def main():
         with open(metrics_path, "a") as f:
             f.write(_json.dumps({"kind": kind, **payload}) + "\n")
 
+    from simvg_tpu.data.prefetch import device_prefetch
+
     for epoch in range(start_epoch, max_epoch):
         train_loader.set_epoch(epoch)
         t_ep = time.time()
         t_data = time.time()
-        for it, batch in enumerate(train_loader):
+        for it, batch in enumerate(
+            device_prefetch(iter(train_loader), size=2)
+        ):
             data_time = time.time() - t_data
             device_batch = {k: v for k, v in batch.items() if k != "meta"}
             state, scalars = train_step(state, device_batch, step_rng)
