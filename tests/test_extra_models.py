@@ -89,3 +89,32 @@ def test_text_bucket_collate():
     b2 = collate([sample(5), sample(18)], canvas=8,
                  text_buckets=[8, 16, 20])
     assert b2["text_ids"].shape == (2, 20)
+
+
+def test_composed_one_stage_model():
+    """SeqTR-style composition: ViT + GRU lan_enc + fusion + DETR head."""
+    from simvg_tpu.models.fusion import (
+        ComposedOneStageModel,
+        CrossAttentionFusion,
+    )
+    from simvg_tpu.models.vis_encs import ViTConfig, ViTEncoder
+
+    model = ComposedOneStageModel(
+        vis_enc=ViTEncoder(ViTConfig(img_size=32, patch_size=16,
+                                     embed_dim=32, num_heads=4,
+                                     ffn_dim=64, num_layers=1)),
+        lan_enc=LSTMLanguageEncoder(vocab_size=50, word_emb_dim=16,
+                                    hidden_size=16,
+                                    output_type="original"),
+        fusion=CrossAttentionFusion(embed_dim=32, num_heads=4),
+        head=DETRHead(DETRHeadConfig(num_queries=3, in_channels=32,
+                                     embed_dim=32, num_encoder_layers=1,
+                                     num_decoder_layers=1,
+                                     attn_dropout=0.0, ffn_dropout=0.0)),
+    )
+    img = jnp.zeros((2, 32, 32, 3))
+    ids = jnp.ones((2, 5), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), img, ids)
+    out = model.apply(params, img, ids)
+    assert out["class_decoder"].shape == (1, 2, 3, 2)
+    assert out["bbox_decoder"].shape == (1, 2, 3, 4)
