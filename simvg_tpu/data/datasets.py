@@ -112,8 +112,9 @@ class BaseDataset:
         self.num_token = tokenizer.vocab_size
 
         self.pipeline = Compose(transforms or [])
-        self.rng = random.Random(seed)
-        self.np_rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0  # set by DataLoader.set_epoch for per-epoch
+        # expression resampling; eval keeps 0 -> fully deterministic
 
         if which_set == "train":
             self._set_group_flag()
@@ -154,9 +155,20 @@ class BaseDataset:
             "with_bbox": self.with_bbox,
             "with_mask": self.with_mask,
         }
-        # expression sampling (loading.py:105-110)
+        # expression sampling (loading.py:105-110).  The reference draws
+        # from a global RNG whose stream depends on worker scheduling;
+        # here the draw is a pure function of (seed, epoch, index), so
+        # it is reproducible under any thread interleaving and eval
+        # (epoch pinned to 0) is exactly repeatable.
         exprs = ann["expressions"]
-        expr_idx = int(self.np_rng.integers(0, len(exprs)))
+        expr_rng = np.random.default_rng(
+            (self.seed, self.epoch, index)
+        )
+        expr_idx = int(expr_rng.integers(0, len(exprs)))
+        # deterministic augmentation stream for this (epoch, sample)
+        s["aug_rng"] = random.Random(
+            f"{self.seed}/{self.epoch}/{index}/aug"
+        )
         expression = exprs[expr_idx]
         ids, mask = self.tokenizer.encode(expression, self.max_token)
         s["expression"] = expression

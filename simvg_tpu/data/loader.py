@@ -138,8 +138,11 @@ class DataLoader:
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
-        """Epoch-seeded reshuffle (DistributedGroupSampler semantics)."""
+        """Epoch-seeded reshuffle (DistributedGroupSampler semantics) +
+        per-epoch expression resampling."""
         self.epoch = epoch
+        if self.shuffle and hasattr(self.ds, "epoch"):
+            self.ds.epoch = epoch
 
     def _index_batches(self) -> List[List[int]]:
         n = len(self.ds)

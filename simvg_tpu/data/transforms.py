@@ -176,7 +176,10 @@ class LargeScaleJitter:
     def __call__(self, s: dict) -> dict:
         img = s["img"]
         h, w = s["ori_shape"][:2]
-        rand_scale = (self.jitter_min + self.rng.random()
+        # per-sample deterministic stream when the dataset provides one
+        # (thread-order independent); else the instance/global RNG
+        rng = s.get("aug_rng") or self.rng
+        rand_scale = (self.jitter_min + rng.random()
                       * (self.jitter_max - self.jitter_min))
         fit_scale = self.out_max_size / max(h, w)
         img = _imrescale(img, rand_scale * fit_scale)
@@ -205,8 +208,8 @@ class LargeScaleJitter:
                 if flag:
                     break
                 for it in range(self.jitter_times):
-                    offset = (self.rng.random() * (new_w - w_out),
-                              self.rng.random() * (new_h - h_out))
+                    offset = (rng.random() * (new_w - w_out),
+                              rng.random() * (new_h - h_out))
                     crop = np.asarray(
                         [offset[0], offset[1], offset[0] + w_out,
                          offset[1] + h_out]

@@ -184,3 +184,43 @@ def test_eval_loader_pads_final_batch(tmp_path):
     last = batches[-1]
     assert last["image"].shape[0] == 3  # static shape kept
     assert last["batch_valid"].tolist() == [True, False, False]
+
+
+def test_dataset_determinism_across_thread_orders(tmp_path):
+    """Expression sampling + augmentation must be a pure function of
+    (seed, epoch, index): two loaders with different worker counts yield
+    identical batches."""
+    imgdir, annfile = make_refcoco_style(str(tmp_path))
+    pipeline = lambda: [
+        LargeScaleJitter(out_max_size=64),
+        Resize((64, 64), keep_ratio=False),
+        Normalize([0, 0, 0], [1, 1, 1]),
+        Pad(size_divisor=32),
+    ]
+    from simvg_tpu.data import build_dataset, DataLoader
+
+    def run(workers):
+        ds = build_dataset(
+            "RefCOCOUNC", imgsfile=imgdir, annsfile=annfile,
+            which_set="train", max_token=10, use_token_type="beit3",
+            transforms=pipeline(), seed=7,
+        )
+        dl = DataLoader(ds, batch_size=4, canvas=64, num_workers=workers,
+                        seed=7)
+        dl.set_epoch(3)
+        return next(iter(dl))
+
+    b1, b2 = run(1), run(4)
+    np.testing.assert_array_equal(b1["text_ids"], b2["text_ids"])
+    np.testing.assert_allclose(b1["image"], b2["image"], atol=1e-6)
+    np.testing.assert_allclose(b1["gt_boxes"], b2["gt_boxes"], atol=1e-6)
+    # and a different epoch yields different augmentation
+    ds = build_dataset(
+        "RefCOCOUNC", imgsfile=imgdir, annsfile=annfile,
+        which_set="train", max_token=10, use_token_type="beit3",
+        transforms=pipeline(), seed=7,
+    )
+    dl = DataLoader(ds, batch_size=4, canvas=64, num_workers=1, seed=7)
+    dl.set_epoch(4)
+    b3 = next(iter(dl))
+    assert (np.asarray(b1["image"]) != np.asarray(b3["image"])).any()
