@@ -59,7 +59,8 @@ def main():
                                 dataset_type=cfg.get("dataset"))
     loader = build_loader_from_cfg(
         ds, cfg, train=False, canvas=img_size,
-        max_gt=cfg.get("max_gt", 12 if is_grec else 1),
+        max_gt=min(cfg.get("max_gt", 12 if is_grec else 1),
+                   cfg.model.get("head", {}).get("num_queries", 1)),
     )
 
     sample = next(iter(loader))

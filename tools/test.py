@@ -56,7 +56,10 @@ def main():
     seed = cfg.get("seed", 6666)
     img_size = cfg.get("img_size", 640)
     is_grec = cfg.get("dataset") == "GRefCOCO"
-    max_gt = cfg.get("max_gt", 12 if is_grec else 1)
+    nq = cfg.model.get("head", {}).get("num_queries", 1)
+    # targets beyond the query count are unmatchable (the
+    # reference's scipy matcher also pairs at most num_queries)
+    max_gt = min(cfg.get("max_gt", 12 if is_grec else 1), nq)
 
     dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else jnp.float32
     model, _ = build_model(cfg.model, img_size=img_size, dtype=dtype)

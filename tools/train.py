@@ -106,7 +106,10 @@ def main():
     # ---- data
     img_size = cfg.get("img_size", 640)
     is_grec = cfg.get("dataset") == "GRefCOCO"
-    max_gt = cfg.get("max_gt", 12 if is_grec else 1)
+    nq = cfg.model.get("head", {}).get("num_queries", 1)
+    # targets beyond the query count are unmatchable (the
+    # reference's scipy matcher also pairs at most num_queries)
+    max_gt = min(cfg.get("max_gt", 12 if is_grec else 1), nq)
     train_ds = build_dataset_from_cfg(cfg.data.train,
                                       dataset_type=cfg.get("dataset"),
                                       seed=seed)
