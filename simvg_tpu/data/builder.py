@@ -75,7 +75,8 @@ def build_dataset_from_cfg(split_cfg: Dict[str, Any], *,
 
 def build_loader_from_cfg(dataset: BaseDataset, cfg, *, train: bool,
                           canvas: int, max_gt: int = 1,
-                          seed: int = 6666) -> DataLoader:
+                          seed: int = 6666, shard_id: int = 0,
+                          num_shards: int = 1) -> DataLoader:
     data = cfg["data"]
     return DataLoader(
         dataset,
@@ -86,5 +87,7 @@ def build_loader_from_cfg(dataset: BaseDataset, cfg, *, train: bool,
         drop_last=train,
         num_workers=data.get("workers_per_gpu", 8),
         seed=seed,
+        shard_id=shard_id,
+        num_shards=num_shards,
         text_buckets=cfg.get("text_buckets"),
     )

@@ -113,9 +113,12 @@ def main():
     train_ds = build_dataset_from_cfg(cfg.data.train,
                                       dataset_type=cfg.get("dataset"),
                                       seed=seed)
+    # Multi-host: each process loads its shard of the batch stream
+    # (DistributedSampler role); single host gets the full stream.
     train_loader = build_loader_from_cfg(
         train_ds, cfg, train=True, canvas=img_size, max_gt=max_gt,
-        seed=seed,
+        seed=seed, shard_id=jax.process_index(),
+        num_shards=jax.process_count(),
     )
     val_loaders = {}
     eval_splits = [k for k in cfg.data
@@ -270,13 +273,43 @@ def main():
 
     from simvg_tpu.data.prefetch import device_prefetch
 
+    if jax.process_count() > 1:
+        # EXPERIMENTAL multi-host path: every process contributes its
+        # local batch as one shard of the global batch (global batch =
+        # process_count * samples_per_gpu), assembled into jit-visible
+        # global arrays. Single-controller semantics: all hosts run the
+        # same program.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from simvg_tpu.parallel import create_mesh
+
+        mesh = create_mesh()
+        bsh = NamedSharding(mesh, P("data"))
+
+        def to_global(batch):
+            out = {}
+            for k, v in batch.items():
+                if k == "meta":
+                    out[k] = v
+                    continue
+                gshape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+                out[k] = jax.make_array_from_process_local_data(
+                    bsh, np.asarray(v), gshape
+                )
+            return out
+
+        def batch_stream(loader):
+            for local in loader:
+                yield to_global(local)
+    else:
+        def batch_stream(loader):
+            return device_prefetch(iter(loader), size=2)
+
     for epoch in range(start_epoch, max_epoch):
         train_loader.set_epoch(epoch)
         t_ep = time.time()
         t_data = time.time()
-        for it, batch in enumerate(
-            device_prefetch(iter(train_loader), size=2)
-        ):
+        for it, batch in enumerate(batch_stream(train_loader)):
             data_time = time.time() - t_data
             device_batch = {k: v for k, v in batch.items() if k != "meta"}
             state, scalars = train_step(state, device_batch, step_rng)
