@@ -25,7 +25,7 @@ import copy
 import json
 import os.path as osp
 import random
-from typing import Dict, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import cv2
 import numpy as np

@@ -12,7 +12,7 @@ static shapes.  Image features come in as an NHWC grid.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -5,7 +5,6 @@ available (pure-python fallbacks take over)."""
 from __future__ import annotations
 
 import importlib
-import os.path as osp
 import sys
 
 _CACHE = {}

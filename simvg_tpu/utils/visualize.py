@@ -3,7 +3,7 @@ draw predicted (red) and ground-truth (blue) boxes on the image."""
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import cv2
 import numpy as np
