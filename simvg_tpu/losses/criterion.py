@@ -280,6 +280,7 @@ def prepare_soft_targets(
     teacher_boxes: jnp.ndarray,  # [B, Q, 4]
     targets_gt: Targets,
     prepare_target_mode: str = "score_iou_weighted",
+    predict_threshold: float = 0.0,
 ):
     """Teacher-derived distillation targets
     (tgqs_kd_detr_head.py:207-268).
@@ -302,7 +303,8 @@ def prepare_soft_targets(
 
     if prepare_target_mode == "score_weighted":
         b, q = scores.shape
-        valid = scores > 0.0
+        # as_target_query_thr (tgqs_kd_detr_head.py:238-247)
+        valid = scores > predict_threshold
         tp = Targets(
             labels=jnp.zeros((b, q), jnp.int32),
             boxes=teacher_boxes,
@@ -345,6 +347,27 @@ def prepare_soft_targets(
     return targets_pred, weights_distill
 
 
+def prepare_merge_targets(
+    teacher_logits: jnp.ndarray,
+    teacher_boxes: jnp.ndarray,
+    targets_gt: Targets,
+) -> Targets:
+    """"merge" branch targets (prepare_merge_target,
+    tgqs_kd_detr_head.py:270-314): GT targets (weight 1) concatenated
+    with the teacher's matched boxes (weight = score * IoU).  Requires
+    2 * T_max <= num_queries for the downstream matcher."""
+    tp, _ = prepare_soft_targets(teacher_logits, teacher_boxes,
+                                 targets_gt, "score_iou_weighted")
+    return Targets(
+        labels=jnp.concatenate([targets_gt.labels, tp.labels], axis=1),
+        boxes=jnp.concatenate([targets_gt.boxes, tp.boxes], axis=1),
+        valid=jnp.concatenate([targets_gt.valid, tp.valid], axis=1),
+        weight=jnp.concatenate(
+            [jnp.ones_like(targets_gt.weight), tp.weight], axis=1
+        ),
+    )
+
+
 def simvg_branch_losses(
     head_out: Dict[str, jnp.ndarray],
     targets_gt: Targets,
@@ -355,6 +378,7 @@ def simvg_branch_losses(
     prepare_target_mode: str = "score_iou_weighted",
     distill_type: str = "hard_weighted",
     mlp_aux_loss: bool = False,
+    as_target_query_thr: float = 0.0,
     dp_size: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Branch loss orchestration (forward_train,
@@ -392,6 +416,7 @@ def simvg_branch_losses(
         targets_pred, wd = prepare_soft_targets(
             cls_dec[-1], box_dec[-1], targets_gt,
             prepare_target_mode=prepare_target_mode,
+            predict_threshold=as_target_query_thr,
         )
         t = set_criterion(cls_tok_, box_tok_, targets_gt, **kw)
         loss_tgt = bw["token"] * t["total"] * (1.0 - wd)
@@ -432,6 +457,14 @@ def simvg_branch_losses(
             loss_kd = branch_loss_weight["distill"] * k["total"]
             losses["loss_kd"] = loss_kd
             total = total + loss_kd
+
+    if "merge" in branch_loss_weight:
+        targets_merge = prepare_merge_targets(cls_dec[-1], box_dec[-1],
+                                              targets_gt)
+        m = set_criterion(cls_tok, box_tok, targets_merge, **kw)
+        loss_merge = branch_loss_weight["merge"] * m["total"]
+        losses["loss_merge"] = loss_merge
+        total = total + loss_merge
 
     losses["loss_total"] = total
     return losses

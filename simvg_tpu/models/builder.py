@@ -64,6 +64,7 @@ def build_model(model_cfg: Dict[str, Any], *, img_size: int = 640,
             "text_guided_query_generation", True
         ),
         tgqs_mid_dim=head.get("tgqs_mid_dim", 512),
+        share_predicthead=head.get("share_predicthead", False),
         dtype=dtype,
     )
 
@@ -79,6 +80,7 @@ def build_model(model_cfg: Dict[str, Any], *, img_size: int = 640,
                                         "score_iou_weighted"),
         "distill_type": head.get("distill_type", "hard_weighted"),
         "mlp_aux_loss": head.get("mlp_aux_loss", False),
+        "as_target_query_thr": head.get("as_target_query_thr", 0.0),
         "freeze_layer": ve.get("freeze_layer", -1),
         "pretrain": ve.get("pretrain", None),
     }

@@ -43,6 +43,7 @@ class TGQSHeadConfig:
     num_token_mlp_layers: int = 1
     text_guided_query_generation: bool = True
     tgqs_mid_dim: int = 512
+    share_predicthead: bool = False
     attn_dropout: float = 0.1
     ffn_dropout: float = 0.1
     dtype: Any = jnp.float32
@@ -97,6 +98,20 @@ class TGQSKDDETRHead(nn.Module):
         cfg = self.cfg
         dd = dict(dtype=cfg.dtype, param_dtype=jnp.float32)
         b, h, w, _ = x_mm.shape
+
+        # share_predicthead (tgqs_kd_detr_head.py:109-118): one set of
+        # class/box heads serves both branches.
+        class_head_dec = nn.Dense(cfg.num_classes + 1,
+                                  name="class_embed_decoder", **dd)
+        bbox_head_dec = MLP(cfg.embed_dim, 4, 3, dtype=cfg.dtype,
+                            name="bbox_embed_decoder")
+        if cfg.share_predicthead:
+            class_head_tok, bbox_head_tok = class_head_dec, bbox_head_dec
+        else:
+            class_head_tok = nn.Dense(cfg.num_classes + 1,
+                                      name="class_embed_token", **dd)
+            bbox_head_tok = MLP(cfg.embed_dim, 4, 3, dtype=cfg.dtype,
+                                name="bbox_embed_token")
 
         # Input projections (tgqs_kd_detr_head.py:74-76, 377-379).  The
         # reference's 1x1 Conv2d == a Dense over the channel axis.
@@ -181,13 +196,9 @@ class TGQSKDDETRHead(nn.Module):
                 )(cls_q)  # [L_mlp, B, Q, D]
             else:
                 token_feats = cls_q[None]
-            class_token = nn.Dense(
-                cfg.num_classes + 1, name="class_embed_token", **dd
-            )(token_feats)
+            class_token = class_head_tok(token_feats)
             bbox_token = nn.sigmoid(
-                MLP(cfg.embed_dim, 4, 3, dtype=cfg.dtype,
-                    name="bbox_embed_token")(
-                    token_feats).astype(jnp.float32)
+                bbox_head_tok(token_feats).astype(jnp.float32)
             )
         else:
             token_feats = cls_q[None]
@@ -237,13 +248,9 @@ class TGQSKDDETRHead(nn.Module):
                 deterministic=deterministic,
             )  # [L_dec, B, Q, D]
 
-            class_decoder = nn.Dense(
-                cfg.num_classes + 1, name="class_embed_decoder", **dd
-            )(hidden_states)
+            class_decoder = class_head_dec(hidden_states)
             bbox_decoder = nn.sigmoid(
-                MLP(cfg.embed_dim, 4, 3, dtype=cfg.dtype,
-                    name="bbox_embed_decoder")(
-                    hidden_states).astype(jnp.float32)
+                bbox_head_dec(hidden_states).astype(jnp.float32)
             )
         else:
             ld = cfg.num_decoder_layers

@@ -97,3 +97,49 @@ def test_grec_training_losses_with_no_target_rows():
         assert np.isfinite(float(v)), (k, float(v))
     # distill weight only averages over object rows (5 of 6 valid)
     assert 0.0 <= float(out["loss_distill_w"]) <= 1.0
+
+
+def test_merge_branch_and_shared_head():
+    """merge branch loss runs (2*T <= Q) and share_predicthead ties the
+    two branches' prediction heads."""
+    rng = np.random.default_rng(5)
+    L, B, Q, T = 2, 2, 8, 3
+    logits = jnp.asarray(rng.normal(size=(L, B, Q, 2)), jnp.float32)
+    boxes = jnp.asarray(rng.uniform(0.2, 0.6, (L, B, Q, 4)), jnp.float32)
+    targets = Targets(
+        labels=jnp.zeros((B, T), jnp.int32),
+        boxes=jnp.asarray(rng.uniform(0.2, 0.6, (B, T, 4)), jnp.float32),
+        valid=jnp.ones((B, T), bool),
+        weight=jnp.ones((B, T), jnp.float32),
+    )
+    head_out = {
+        "class_decoder": logits, "bbox_decoder": boxes,
+        "class_token": logits[-1:], "bbox_token": boxes[-1:],
+    }
+    out = simvg_branch_losses(
+        head_out, targets,
+        branch_loss_weight={"decoder": 1.0, "token": 1.0, "merge": 0.5},
+    )
+    assert "loss_merge" in out and np.isfinite(float(out["loss_merge"]))
+
+    # shared prediction head: params contain no token-specific heads
+    from simvg_tpu.models.heads.tgqs_head import (
+        TGQSHeadConfig,
+        TGQSKDDETRHead,
+    )
+
+    cfg = TGQSHeadConfig(num_queries=2, in_channels=16, embed_dim=16,
+                         num_decoder_layers=1, num_tgqg_layers=1,
+                         share_predicthead=True, attn_dropout=0.0,
+                         ffn_dropout=0.0)
+    head = TGQSKDDETRHead(cfg)
+    params = head.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 2, 2, 16)), jnp.zeros((1, 2, 2), bool),
+        jnp.zeros((1, 16)), jnp.zeros((1, 4, 16)),
+        jnp.zeros((1, 4), jnp.int32),
+    )
+    keys = params["params"].keys()
+    assert "class_embed_decoder" in keys
+    assert "class_embed_token" not in keys
+    assert "bbox_embed_token" not in keys
