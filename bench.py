@@ -37,12 +37,24 @@ def main():
     batch = _batch(b, t, cfg.beit3.img_size, rng=0)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-    params = model.init(
-        jax.random.PRNGKey(0),
-        image=batch["image"][:1],
-        text_ids=batch["text_ids"][:1],
-        text_padding_mask=batch["text_padding_mask"][:1],
-        img_shape=batch["img_shape"][:1],
+    # Shape-only init: avoids compiling a second large program just to
+    # materialise parameters (timing is weight-independent; weights are
+    # random normal so softmax/giou paths stay numerically healthy).
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            image=batch["image"][:1],
+            text_ids=batch["text_ids"][:1],
+            text_padding_mask=batch["text_padding_mask"][:1],
+            img_shape=batch["img_shape"][:1],
+        )
+    )
+    rng = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda s: jnp.asarray(
+            rng.normal(0, 0.02, s.shape).astype(s.dtype)
+        ),
+        shapes,
     )
 
     def one_pass(params, image, text_ids, text_padding_mask, img_shape):

@@ -1,0 +1,79 @@
+"""End-to-end evaluate() loop: batch_valid wrap-padding must not leak
+into metrics, and GRec accumulation must consume meta targets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simvg_tpu.engine.evaluate import evaluate
+from simvg_tpu.models import SimVGModel, SimVGConfig
+from simvg_tpu.models.beit3 import BEiT3Config
+from simvg_tpu.models.heads.tgqs_head import TGQSHeadConfig
+
+
+class FakeLoader:
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def _model():
+    cfg = SimVGConfig(
+        beit3=BEiT3Config(img_size=32, patch_size=16, embed_dim=32,
+                          num_heads=4, ffn_dim=64, num_layers=1,
+                          vocab_size=60, drop_path_rate=0.0),
+        head=TGQSHeadConfig(num_queries=2, in_channels=32, embed_dim=32,
+                            num_decoder_layers=1, num_tgqg_layers=1,
+                            attn_dropout=0.0, ffn_dropout=0.0),
+    )
+    return SimVGModel(cfg)
+
+
+def _batch(b, valid, grec=False):
+    r = np.random.default_rng(0)
+    out = dict(
+        image=np.asarray(r.normal(size=(b, 32, 32, 3)), np.float32),
+        text_ids=np.asarray(r.integers(1, 60, (b, 5)), np.int32),
+        text_padding_mask=np.zeros((b, 5), np.int32),
+        img_shape=np.full((b, 2), 32, np.int32),
+        scale_factor=np.ones((b, 4), np.float32),
+        gt_boxes=np.tile(np.asarray([[4, 4, 20, 20]], np.float32),
+                         (b, 1)).reshape(b, 1, 4),
+        gt_labels=np.zeros((b, 1), np.int32),
+        gt_valid=np.ones((b, 1), bool),
+        batch_valid=np.asarray(valid, bool),
+        meta=[{"target": [{"category_id": 1}]} for _ in range(b)],
+    )
+    if grec:
+        for m in out["meta"]:
+            m["target"] = [{"category_id": 1}]
+    return out
+
+
+def test_eval_skips_wrap_padded_samples():
+    model = _model()
+    batch = _batch(4, [True, True, True, True])
+    params = model.init(
+        jax.random.PRNGKey(0),
+        **{k: jnp.asarray(batch[k]) for k in
+           ("image", "text_ids", "text_padding_mask", "img_shape")},
+    )
+    # same data, but second loader marks half the samples as padding;
+    # metrics must be identical because padded rows replicate real ones
+    full = FakeLoader([_batch(4, [True] * 4)])
+    m1 = evaluate(model, params, full)
+    half = FakeLoader([_batch(4, [True, True, False, False])])
+    m2 = evaluate(model, params, half)
+    # n differs but all are drawn from identical samples
+    assert m1["decoder_det_acc"] == m2["decoder_det_acc"]
+
+    grec_loader = FakeLoader([_batch(4, [True, True, True, False],
+                                     grec=True)])
+    g = evaluate(model, params, grec_loader, is_grec=True)
+    assert "decoder_F1_score" in g
+    assert np.isfinite(g["det_acc"])
