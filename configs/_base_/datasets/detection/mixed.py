@@ -29,12 +29,12 @@ val_pipeline = [
          keys=["img", "ref_expr_inds", "gt_bbox", "text_attention_mask"]),
 ]
 
-imgsfile = dict(
-    coco=data_root + "images/mscoco/train2014",
-    flickr=data_root + "images/flickr30k",
-    saiaprtc12=data_root + "images/saiaprtc12",
-    visual_genome=data_root + "images/visual-genome",
-)
+imgsfile = {
+    "coco": data_root + "images/mscoco/train2014",
+    "flickr": data_root + "images/flickr30k",
+    "saiaprtc12": data_root + "images/saiaprtc12",
+    "visual-genome": data_root + "images/visual-genome",
+}
 
 data = dict(
     samples_per_gpu=32,
