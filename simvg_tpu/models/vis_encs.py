@@ -21,6 +21,54 @@ import flax.linen as nn
 from simvg_tpu.ops.attention import multihead_attention
 
 
+class ResNetEncoder(nn.Module):
+    """Compact ResNet (vis_encs/resnet.py role): bottleneck stages with
+    stride-32 output grid, matching the ViT interface.  Depths (3,4,6,3)
+    = ResNet-50."""
+
+    depths: tuple = (3, 4, 6, 3)
+    widths: tuple = (256, 512, 1024, 2048)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, deterministic: bool = True):
+        dd = dict(dtype=self.dtype, param_dtype=jnp.float32,
+                  use_bias=False)
+        def ln(name, ch=None):
+            # group count adapts to narrow test widths
+            g = 32 if (ch is None or ch % 32 == 0) else max(
+                gg for gg in (16, 8, 4, 2, 1) if ch % gg == 0
+            )
+            return nn.GroupNorm(num_groups=g, dtype=jnp.float32,
+                                param_dtype=jnp.float32, name=name)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    name="stem", **dd)(images.astype(self.dtype))
+        x = nn.relu(ln("stem_norm", 64)(x).astype(self.dtype))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1),
+                                                            (1, 1)))
+        for si, (depth, width) in enumerate(zip(self.depths,
+                                                self.widths)):
+            for bi in range(depth):
+                stride = 2 if (bi == 0 and si > 0) else 1
+                res = x
+                h = nn.Conv(width // 4, (1, 1), name=f"s{si}b{bi}c1",
+                            **dd)(x)
+                h = nn.relu(ln(f"s{si}b{bi}n1", width // 4)(h).astype(self.dtype))
+                h = nn.Conv(width // 4, (3, 3), strides=(stride, stride),
+                            padding=[(1, 1), (1, 1)],
+                            name=f"s{si}b{bi}c2", **dd)(h)
+                h = nn.relu(ln(f"s{si}b{bi}n2", width // 4)(h).astype(self.dtype))
+                h = nn.Conv(width, (1, 1), name=f"s{si}b{bi}c3", **dd)(h)
+                h = ln(f"s{si}b{bi}n3", width)(h).astype(self.dtype)
+                if res.shape != h.shape:
+                    res = nn.Conv(width, (1, 1),
+                                  strides=(stride, stride),
+                                  name=f"s{si}b{bi}sc", **dd)(res)
+                    res = ln(f"s{si}b{bi}scn", width)(res).astype(self.dtype)
+                x = nn.relu(res + h)
+        return x
+
+
 @dataclasses.dataclass(frozen=True)
 class ViTConfig:
     img_size: int = 640
