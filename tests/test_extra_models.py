@@ -118,3 +118,14 @@ def test_composed_one_stage_model():
     out = model.apply(params, img, ids)
     assert out["class_decoder"].shape == (1, 2, 3, 2)
     assert out["bbox_decoder"].shape == (1, 2, 3, 4)
+
+
+def test_resnet_backbone():
+    from simvg_tpu.models.vis_encs import ResNetEncoder
+
+    enc = ResNetEncoder(depths=(1, 1, 1, 1), widths=(32, 64, 128, 256))
+    x = jnp.zeros((2, 64, 64, 3))
+    params = enc.init(jax.random.PRNGKey(0), x)
+    out = enc.apply(params, x)
+    assert out.shape == (2, 2, 2, 256)  # stride 32
+    assert np.isfinite(np.asarray(out)).all()
