@@ -57,6 +57,12 @@ class BEiT3Config:
     remat: bool = False  # rematerialise encoder layers (activation
     # checkpointing; trades FLOPs for HBM like the reference's
     # checkpoint_activations flag, beit3_base.py:311-312)
+    scan_layers: bool = False  # lax.scan over the identical encoder
+    # layers: ONE layer body in the compiled program instead of
+    # num_layers copies — an order of magnitude smaller HLO, much
+    # faster compiles (critical for remote-compiled environments).
+    # Parameters become stacked [L, ...]; see
+    # tools/convert_checkpoint.stack_scan_layers.
 
     @property
     def num_patches(self) -> int:
@@ -234,6 +240,46 @@ class EncoderLayer(nn.Module):
         return residual + h
 
 
+class _ScanLayerBody(nn.Module):
+    """EncoderLayer variant for nn.scan: drop-path rate arrives as a
+    traced per-layer input; split/deterministic are static attrs."""
+
+    cfg: BEiT3Config
+    split: int
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask, dp_rate):
+        cfg = self.cfg
+        split = self.split
+        det = self.deterministic
+        ln1_a = _ln(cfg, "self_attn_layer_norm_A")
+        ln1_b = _ln(cfg, "self_attn_layer_norm_B")
+        ln2_a = _ln(cfg, "final_layer_norm_A")
+        ln2_b = _ln(cfg, "final_layer_norm_B")
+
+        def drop_path(h):
+            if det or cfg.drop_path_rate == 0.0:
+                return h
+            keep = 1.0 - dp_rate
+            rng = self.make_rng("dropout")
+            shape = (h.shape[0],) + (1,) * (h.ndim - 1)
+            mask = jax.random.bernoulli(rng, keep, shape).astype(h.dtype)
+            return h / keep * mask
+
+        residual = x
+        h = _multiway(ln1_a, ln1_b, x, split).astype(cfg.dtype)
+        h = MultiwayAttention(cfg, name="self_attn")(
+            h, split, key_padding_mask, det
+        )
+        x = residual + drop_path(h)
+
+        residual = x
+        h = _multiway(ln2_a, ln2_b, x, split).astype(cfg.dtype)
+        h = MultiwayFFN(cfg, name="ffn")(h, split)
+        return residual + drop_path(h), None
+
+
 class VisionEmbedding(nn.Module):
     """Conv patchify + CLS prepend (torchscale VisionEmbedding,
     used at beit3_base.py:417-424). Input is NHWC."""
@@ -328,18 +374,31 @@ class BEiT3Encoder(nn.Module):
         # Zero embeddings at padded positions (beit3_base.py:367).
         x = x * (1.0 - pad.astype(x.dtype))[..., None]
 
-        dpr = [
-            float(r)
-            for r in np.linspace(0.0, cfg.drop_path_rate, cfg.num_layers)
-        ]
-        layer_cls = (
-            nn.remat(EncoderLayer, static_argnums=(2, 4))
-            if cfg.remat else EncoderLayer
-        )
-        for i in range(cfg.num_layers):
-            x = layer_cls(cfg, drop_path_rate=dpr[i], name=f"layers_{i}")(
-                x, split, pad, deterministic
+        dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.num_layers)
+        if cfg.scan_layers:
+            body = _ScanLayerBody
+            if cfg.remat:
+                body = nn.remat(body, static_argnums=())
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, 0),
+                length=cfg.num_layers,
             )
+            x, _ = scan(cfg, split, deterministic, name="layers")(
+                x, pad, jnp.asarray(dpr, jnp.float32)
+            )
+        else:
+            layer_cls = (
+                nn.remat(EncoderLayer, static_argnums=(2, 4))
+                if cfg.remat else EncoderLayer
+            )
+            for i in range(cfg.num_layers):
+                x = layer_cls(cfg, drop_path_rate=float(dpr[i]),
+                              name=f"layers_{i}")(
+                    x, split, pad, deterministic
+                )
 
         # normalize_output=True -> final multiway LayerNorm
         # (beit3_base.py:227-230).

@@ -37,6 +37,7 @@ def build_model(model_cfg: Dict[str, Any], *, img_size: int = 640,
         attn_impl=ve.get("attn_impl", "xla"),
         remat=ve.get("remat", ve.get("checkpoint_activations", False)
                      or False),
+        scan_layers=ve.get("scan_layers", False),
     )
     extra = {
         k: ve[k]

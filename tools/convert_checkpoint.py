@@ -560,3 +560,44 @@ def _export_head_entry(parts, v, sd, packed_qkv):
             put(f"{base}norms.{n}."
                 f"{'weight' if rest[1] == 'scale' else 'bias'}", v)
             return
+
+
+def stack_scan_layers(params: Dict) -> Dict:
+    """Per-layer params (layers_0..layers_{N-1}) -> stacked scan layout
+    (one "layers" subtree with a leading [N] axis), for models built
+    with BEiT3Config.scan_layers=True."""
+    import jax
+
+    out = {"params": dict(params["params"])}
+    tree = out["params"]["beit3"] if "beit3" in out["params"] \
+        else out["params"]
+    names = sorted(
+        (k for k in tree if k.startswith("layers_")),
+        key=lambda k: int(k.split("_")[1]),
+    )
+    if not names:
+        return params
+    per_layer = [tree[k] for k in names]
+    stacked = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *per_layer)
+    # scan bodies have no drop_path submodule (rate is a traced input)
+    stacked.pop("drop_path", None)
+    for k in names:
+        del tree[k]
+    tree["layers"] = stacked
+    return out
+
+
+def unstack_scan_layers(params: Dict) -> Dict:
+    """Inverse of stack_scan_layers."""
+    import jax
+
+    out = {"params": dict(params["params"])}
+    tree = out["params"]["beit3"] if "beit3" in out["params"] \
+        else out["params"]
+    if "layers" not in tree:
+        return params
+    stacked = tree.pop("layers")
+    n = jax.tree.leaves(stacked)[0].shape[0]
+    for i in range(n):
+        tree[f"layers_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    return out
