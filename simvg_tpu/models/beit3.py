@@ -277,7 +277,8 @@ class _ScanLayerBody(nn.Module):
         residual = x
         h = _multiway(ln2_a, ln2_b, x, split).astype(cfg.dtype)
         h = MultiwayFFN(cfg, name="ffn")(h, split)
-        return residual + drop_path(h), None
+        # scan requires a dtype-stable carry
+        return (residual + drop_path(h)).astype(cfg.dtype), None
 
 
 class VisionEmbedding(nn.Module):
@@ -387,7 +388,7 @@ class BEiT3Encoder(nn.Module):
                 length=cfg.num_layers,
             )
             x, _ = scan(cfg, split, deterministic, name="layers")(
-                x, pad, jnp.asarray(dpr, jnp.float32)
+                x.astype(cfg.dtype), pad, jnp.asarray(dpr, jnp.float32)
             )
         else:
             layer_cls = (

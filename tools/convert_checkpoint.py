@@ -318,22 +318,28 @@ def _torch_load(path: str) -> Dict[str, np.ndarray]:
 
 
 def load_pretrained_into_params(params, path: str, logger=None):
-    """Dispatch by key inventory: BEiT-3 pretrain vs full SimVG."""
+    """Dispatch by key inventory: BEiT-3 pretrain vs full SimVG.
+    Handles scan-layer (stacked) targets transparently."""
     import jax
 
     params = jax.tree.map(np.asarray, params)
-    # make mutable nested dicts
-    import flax
-
-    params = flax.core.unfreeze(params) if hasattr(
-        flax.core, "unfreeze") else params
-    params = jax.tree_util.tree_map(lambda x: x, params)
     params = _deep_dict(params)
+
+    tree = params["params"].get("beit3", params["params"])
+    scanned = "layers" in tree and not any(
+        k.startswith("layers_") for k in tree
+    )
+    if scanned:
+        params = _deep_dict(unstack_scan_layers(params))
+
     sd = _torch_load(path)
     if any(k.startswith("vis_enc.") for k in sd):
         convert_simvg_full(sd, params, logger=logger)
     else:
         convert_beit3_encoder(sd, params, logger=logger)
+
+    if scanned:
+        params = stack_scan_layers(params)
     return params
 
 
