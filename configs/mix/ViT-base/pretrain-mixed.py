@@ -55,6 +55,7 @@ model = dict(
         vocab_size=64010,
         freeze_layer=-1,
         vision_embed_proj_interpolate=True,
+        scan_layers=True,  # one layer body in the HLO: far faster compiles
         pretrain="pretrain_weights/beit3_base_patch16_224.zip",
     ),
     lan_enc=None,
