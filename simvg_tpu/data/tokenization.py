@@ -184,6 +184,25 @@ class WordTokenizer(_TokenizerBase):
         return ids, mask
 
 
+def load_word_embeddings(path: str, token2idx: Dict[str, int],
+                         dim: int = 300) -> np.ndarray:
+    """Load a cached GloVe table (``word_emb.npz`` with an 'emb' array,
+    the reference's vocabulary cache format, datasets/utils.py:137-199)
+    or fall back to random-normal vectors when the asset is absent."""
+    import os.path as osp
+
+    if path and osp.exists(path):
+        data = np.load(path)
+        key = "emb" if "emb" in data else list(data.keys())[0]
+        emb = np.asarray(data[key], np.float32)
+        assert emb.shape[0] >= len(token2idx), (
+            emb.shape, len(token2idx)
+        )
+        return emb[: len(token2idx)]
+    rng = np.random.default_rng(0)
+    return rng.normal(0, 0.02, (len(token2idx), dim)).astype(np.float32)
+
+
 def build_tokenizer(kind: str = "beit3", **kw) -> _TokenizerBase:
     if kind == "beit3":
         spm = kw.get("spm_path")

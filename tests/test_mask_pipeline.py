@@ -87,3 +87,37 @@ def test_grefcoco_dataset_with_mask(tmp_path):
     assert s["gt_mask"].sum() > 0
     np.testing.assert_array_equal(rle_ops.decode(s["gt_mask_rle"]),
                                   s["gt_mask"])
+
+
+def test_imshow_expr_mask(tmp_path):
+    import os
+
+    from simvg_tpu.utils.visualize import imshow_expr_mask
+
+    img = np.zeros((40, 40, 3), np.uint8)
+    m1 = np.zeros((40, 40), np.uint8)
+    m1[5:20, 5:20] = 1
+    m2 = np.zeros((40, 40), np.uint8)
+    m2[15:30, 15:30] = 1
+    out = os.path.join(str(tmp_path), "m.jpg")
+    vis = imshow_expr_mask(img, rle_ops.encode(m1), out,
+                           gt_mask_rle=rle_ops.encode(m2))
+    assert os.path.exists(out)
+    assert vis[10, 10].sum() > 0  # pred overlay drawn
+    assert vis[25, 25].sum() > 0  # gt overlay drawn
+
+
+def test_load_word_embeddings(tmp_path):
+    import os
+
+    from simvg_tpu.data.tokenization import load_word_embeddings
+
+    vocab = {"PAD": 0, "cat": 1, "dog": 2, "UNK": 3}
+    # fallback path
+    emb = load_word_embeddings(None, vocab, dim=16)
+    assert emb.shape == (4, 16)
+    # cached npz path
+    p = os.path.join(str(tmp_path), "word_emb.npz")
+    np.savez(p, emb=np.ones((4, 8), np.float32))
+    emb2 = load_word_embeddings(p, vocab)
+    assert emb2.shape == (4, 8) and (emb2 == 1).all()
