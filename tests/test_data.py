@@ -224,3 +224,49 @@ def test_dataset_determinism_across_thread_orders(tmp_path):
     dl.set_epoch(4)
     b3 = next(iter(dl))
     assert (np.asarray(b1["image"]) != np.asarray(b3["image"])).any()
+
+
+def test_mixed_dataset_multi_source(tmp_path):
+    """Mixed: per-source image roots + img_source filtering."""
+    import json
+    import os
+
+    import cv2
+
+    root = str(tmp_path)
+    coco_dir = os.path.join(root, "coco")
+    flickr_dir = os.path.join(root, "flickr")
+    os.makedirs(coco_dir)
+    os.makedirs(flickr_dir)
+    img = np.zeros((40, 40, 3), np.uint8)
+    cv2.imwrite(os.path.join(coco_dir,
+                             "COCO_train2014_%012d.jpg" % 1), img)
+    cv2.imwrite(os.path.join(flickr_dir, "2.jpg"), img)
+    anns = {"train": [
+        {"image_id": 1, "height": 40, "width": 40,
+         "bbox": [1, 1, 10, 10], "expressions": ["a"],
+         "data_source": "coco"},
+        {"image_id": 2, "height": 40, "width": 40,
+         "bbox": [1, 1, 10, 10], "expressions": ["b"],
+         "data_source": "flickr"},
+        {"image_id": 3, "height": 40, "width": 40,
+         "bbox": [1, 1, 10, 10], "expressions": ["c"],
+         "data_source": "visual-genome"},
+    ]}
+    annfile = os.path.join(root, "instances.json")
+    json.dump(anns, open(annfile, "w"))
+    ds = build_dataset(
+        "Mixed",
+        imgsfile={"coco": coco_dir, "flickr": flickr_dir},
+        annsfile=annfile, which_set="train", max_token=8,
+        img_source=["coco", "flickr"],  # filters out visual-genome
+        use_token_type="beit3",
+        transforms=[Resize((32, 32), keep_ratio=False),
+                    Normalize([0, 0, 0], [1, 1, 1]),
+                    Pad(size_divisor=32)],
+    )
+    assert len(ds) == 2  # visual-genome record filtered
+    s0, s1 = ds[0], ds[1]
+    assert s0["img"].shape == (32, 32, 3)
+    assert "COCO_train2014" in s0["filename"]
+    assert s1["filename"].endswith("2.jpg")

@@ -135,3 +135,54 @@ def test_decode_predictions_rescale():
         np.asarray(out3["best_box"][0]), [25.0, 12.5, 75.0, 37.5],
         atol=1e-4,
     )
+
+
+def test_encoder_enabled_and_no_tgqg_paths():
+    """only_decoder=False engages the DETR encoder;
+    text_guided_query_generation=False uses plain learned queries."""
+    cfg = SimVGConfig(
+        beit3=BEiT3Config(img_size=64, patch_size=16, embed_dim=32,
+                          num_heads=4, ffn_dim=64, num_layers=1,
+                          vocab_size=100, drop_path_rate=0.0),
+        head=TGQSHeadConfig(num_queries=2, in_channels=32, embed_dim=32,
+                            num_decoder_layers=1, num_encoder_layers=1,
+                            only_decoder=False,
+                            text_guided_query_generation=False,
+                            attn_dropout=0.0, ffn_dropout=0.0),
+    )
+    model = SimVGModel(cfg)
+    batch = _batch()
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    assert "encoder" in params["params"]["head"]
+    assert "tgqg" not in params["params"]["head"]
+    out = model.apply(params, **batch)
+    assert np.isfinite(np.asarray(out["bbox_decoder"])).all()
+
+
+def test_scan_flagship_matches_unrolled_full_model():
+    """scan_layers at the full-model level (encoder + head)."""
+    from tools.convert_checkpoint import stack_scan_layers
+
+    mk = lambda scan: SimVGModel(SimVGConfig(
+        beit3=BEiT3Config(img_size=64, patch_size=16, embed_dim=32,
+                          num_heads=4, ffn_dim=64, num_layers=2,
+                          vocab_size=100, drop_path_rate=0.0,
+                          scan_layers=scan),
+        head=TGQSHeadConfig(num_queries=1, in_channels=32, embed_dim=32,
+                            num_decoder_layers=1, num_tgqg_layers=1,
+                            attn_dropout=0.0, ffn_dropout=0.0),
+    ))
+    batch = _batch()
+    m_u, m_s = mk(False), mk(True)
+    p_u = m_u.init(jax.random.PRNGKey(0), **batch)
+
+    def deep(d):
+        return {k: deep(v) for k, v in d.items()} if isinstance(
+            d, dict) else np.asarray(d)
+
+    p_s = stack_scan_layers(deep(p_u))
+    o_u = m_u.apply(p_u, **batch)
+    o_s = m_s.apply(p_s, **batch)
+    np.testing.assert_allclose(np.asarray(o_u["bbox_decoder"]),
+                               np.asarray(o_s["bbox_decoder"]),
+                               atol=1e-5)
