@@ -327,8 +327,12 @@ def main():
                 emit_metrics("train", {"epoch": epoch + 1, "iter": it + 1,
                                        "data_time": data_time, **s})
             t_data = time.time()
-        logger.info(f"epoch {epoch + 1} done in "
-                    f"{time.time() - t_ep:.1f}s")
+        ep_time = time.time() - t_ep
+        bs = cfg.data.get("samples_per_gpu", 32)
+        logger.info(
+            f"epoch {epoch + 1} done in {ep_time:.1f}s "
+            f"({steps_per_epoch * bs / max(ep_time, 1e-9):.1f} img/s)"
+        )
 
         if (epoch + 1) % evaluate_interval == 0 and epoch >= start_eval:
             for split, loader in val_loaders.items():
