@@ -232,3 +232,53 @@ def test_balanced_distill_pipeline_runs():
         + float(out["loss_kd"]),
         rtol=1e-5,
     )
+
+
+def oracle_soft_targets_and_weighted_loss(t_logits, t_boxes, s_logits,
+                                          s_boxes, ragged):
+    """Reference semantics: match teacher to GT (score_iou_weighted),
+    build teacher targets, then weighted_ce SetCriterion on the student
+    (tgqs_kd_detr_head.py:248-268 + criterion.py weighted paths)."""
+    B, Q, _ = t_logits.shape
+    tgts = []
+    for b in range(B):
+        t = ragged[b]
+        rows, cols = oracle_match(t_logits[b], t_boxes[b], t["labels"],
+                                  t["boxes"])
+        score = softmax(t_logits[b])[:, 0]
+        pb = t_boxes[b][rows]
+        gb = t["boxes"][cols]
+        a, bb = cxcywh_to_xyxy(pb), cxcywh_to_xyxy(gb)
+        lt = np.maximum(a[:, :2], bb[:, :2])
+        rb = np.minimum(a[:, 2:], bb[:, 2:])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[:, 0] * wh[:, 1]
+        ua = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+              + (bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1]) - inter)
+        w = score[rows] * inter / ua
+        # order pairs by GT slot (our padded layout); equivalent set
+        order = np.argsort(cols)
+        tgts.append({"labels": np.zeros(len(rows), int),
+                     "boxes": pb[order], "weight": w[order]})
+    return oracle_set_criterion(s_logits, s_boxes, tgts,
+                                loss_class_type="weighted_ce_loss")
+
+
+def test_hard_weighted_distill_matches_oracle():
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        t_logits, t_boxes, targets, ragged = _rand_problem(rng, L=1)
+        s_logits, s_boxes, _, _ = _rand_problem(rng, L=1)
+        from simvg_tpu.losses.criterion import prepare_soft_targets
+
+        tp, _ = prepare_soft_targets(
+            jnp.asarray(t_logits[0]), jnp.asarray(t_boxes[0]), targets
+        )
+        ours = set_criterion(jnp.asarray(s_logits),
+                             jnp.asarray(s_boxes), tp,
+                             loss_class_type="weighted_ce_loss")
+        oracle = oracle_soft_targets_and_weighted_loss(
+            t_logits[0], t_boxes[0], s_logits, s_boxes, ragged
+        )
+        np.testing.assert_allclose(float(ours["total"]), oracle,
+                                   rtol=3e-4, atol=3e-4)
