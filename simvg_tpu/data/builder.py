@@ -24,8 +24,14 @@ from .loader import DataLoader
 _NOOP_TYPES = {"DefaultFormatBundle", "CollectData"}
 
 
-def build_pipeline(pipeline_cfg) -> Tuple[list, Dict[str, Any]]:
-    """Returns (transform list, loader-level settings from the load op)."""
+def build_pipeline(pipeline_cfg, normalize_on_device: bool = False
+                   ) -> Tuple[list, Dict[str, Any]]:
+    """Returns (transform list, loader-level settings from the load op).
+
+    normalize_on_device skips the host Normalize op (images stay uint8;
+    the train/eval step normalises on device) and records the norm
+    constants under load_cfg["img_norm_cfg"].
+    """
     tfs = []
     load_cfg: Dict[str, Any] = {}
     for op in pipeline_cfg or []:
@@ -39,7 +45,10 @@ def build_pipeline(pipeline_cfg) -> Tuple[list, Dict[str, Any]]:
             tfs.append(T.Resize(tuple(op.pop("img_scale")),
                                 keep_ratio=op.pop("keep_ratio", True)))
         elif kind == "Normalize":
-            tfs.append(T.Normalize(**op))
+            if normalize_on_device:
+                load_cfg["img_norm_cfg"] = op
+            else:
+                tfs.append(T.Normalize(**op))
         elif kind == "Pad":
             tfs.append(T.Pad(**op))
         elif kind in _NOOP_TYPES:
@@ -51,11 +60,13 @@ def build_pipeline(pipeline_cfg) -> Tuple[list, Dict[str, Any]]:
 
 def build_dataset_from_cfg(split_cfg: Dict[str, Any], *,
                            dataset_type: Optional[str] = None,
-                           tokenizer=None, seed: int = 6666
+                           tokenizer=None, seed: int = 6666,
+                           normalize_on_device: bool = False
                            ) -> BaseDataset:
     split_cfg = dict(split_cfg)
     ds_type = split_cfg.pop("type", dataset_type)
-    tfs, load_cfg = build_pipeline(split_cfg.pop("pipeline", []))
+    tfs, load_cfg = build_pipeline(split_cfg.pop("pipeline", []),
+                                   normalize_on_device)
     split_cfg.pop("word_emb_cfg", None)  # legacy GloVe path
     return build_dataset(
         ds_type,

@@ -37,7 +37,12 @@ def collate(samples: List[dict], canvas: int, max_gt: int = 1,
             valid: Optional[List[bool]] = None,
             text_buckets: Optional[List[int]] = None) -> Dict:
     b = len(samples)
-    image = np.zeros((b, canvas, canvas, 3), np.float32)
+    # preserve uint8 when the pipeline skips host normalisation
+    # (normalize_on_device): 4x smaller canvas + host->device transfer
+    img_dtype = samples[0]["img"].dtype if b else np.float32
+    if img_dtype not in (np.uint8, np.float32):
+        img_dtype = np.float32
+    image = np.zeros((b, canvas, canvas, 3), img_dtype)
     img_shape = np.zeros((b, 2), np.int32)
     scale_factor = np.ones((b, 4), np.float32)
     t = len(samples[0]["ref_expr_inds"])

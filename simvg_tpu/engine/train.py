@@ -62,8 +62,23 @@ def make_train_step(
     ema_alpha: Optional[float] = None,
     dp_size: int = 1,
     with_metrics: bool = True,
+    device_norm: Optional[Dict] = None,
 ) -> Callable:
-    """Build the pure train_step(state, batch, rng) -> (state, scalars)."""
+    """Build the pure train_step(state, batch, rng) -> (state, scalars).
+
+    device_norm: optional {"mean", "std", "to_rgb"} — images arrive as
+    uint8 and are normalised on device (4x less host bandwidth).
+    """
+
+    def _images(batch):
+        if device_norm is None:
+            return batch["image"]
+        from simvg_tpu.data.prefetch import normalize_images_on_device
+
+        return normalize_images_on_device(
+            batch["image"], device_norm["mean"], device_norm["std"],
+            device_norm.get("to_rgb", True),
+        )
 
     def train_step(state: TrainState, batch: Dict[str, Any], rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -71,7 +86,7 @@ def make_train_step(
         def loss_fn(params):
             out = model.apply(
                 params,
-                image=batch["image"],
+                image=_images(batch),
                 text_ids=batch["text_ids"],
                 text_padding_mask=batch["text_padding_mask"],
                 img_shape=batch["img_shape"],
@@ -124,14 +139,24 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model) -> Callable:
+def make_eval_step(model, device_norm: Optional[Dict] = None) -> Callable:
     """Pure forward returning decoded predictions for both branches
     (MIXDETRMB.forward_test, mix_detr_mb.py:77-125)."""
+
+    def _images(batch):
+        if device_norm is None:
+            return batch["image"]
+        from simvg_tpu.data.prefetch import normalize_images_on_device
+
+        return normalize_images_on_device(
+            batch["image"], device_norm["mean"], device_norm["std"],
+            device_norm.get("to_rgb", True),
+        )
 
     def eval_step(params, batch):
         out = model.apply(
             params,
-            image=batch["image"],
+            image=_images(batch),
             text_ids=batch["text_ids"],
             text_padding_mask=batch["text_padding_mask"],
             img_shape=batch["img_shape"],

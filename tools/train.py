@@ -110,9 +110,11 @@ def main():
     # targets beyond the query count are unmatchable (the
     # reference's scipy matcher also pairs at most num_queries)
     max_gt = min(cfg.get("max_gt", 12 if is_grec else 1), nq)
+    norm_on_device = cfg.get("normalize_on_device", False)
     train_ds = build_dataset_from_cfg(cfg.data.train,
                                       dataset_type=cfg.get("dataset"),
-                                      seed=seed)
+                                      seed=seed,
+                                      normalize_on_device=norm_on_device)
     # Multi-host: each process loads its shard of the batch stream
     # (DistributedSampler role); single host gets the full stream.
     train_loader = build_loader_from_cfg(
@@ -128,7 +130,8 @@ def main():
         ds = build_dataset_from_cfg(cfg.data[split],
                                     dataset_type=cfg.get("dataset"),
                                     tokenizer=train_ds.tokenizer,
-                                    seed=seed)
+                                    seed=seed,
+                                    normalize_on_device=norm_on_device)
         val_loaders[split] = build_loader_from_cfg(
             ds, cfg, train=False, canvas=img_size, max_gt=max_gt,
             seed=seed,
@@ -240,7 +243,9 @@ def main():
 
     from simvg_tpu.engine.train import make_eval_step
 
-    eval_step = jax.jit(make_eval_step(model))  # compiled once, reused
+    device_norm = (dict(cfg.get("img_norm_cfg", {})) or None) \
+        if norm_on_device else None
+    eval_step = jax.jit(make_eval_step(model, device_norm=device_norm))
     train_step = jax.jit(
         make_train_step(
             model,
@@ -251,6 +256,7 @@ def main():
             mlp_aux_loss=loss_cfg.get("mlp_aux_loss", False),
             ema_alpha=cfg.get("ema_factor", 0.999) if use_ema else None,
             with_metrics=not is_grec,
+            device_norm=device_norm,
         ),
         donate_argnums=(0,),
     )
