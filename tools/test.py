@@ -67,12 +67,14 @@ def main():
     splits = [s for s in cfg.data
               if s not in ("train", "samples_per_gpu",
                            "workers_per_gpu")]
+    norm_on_device = cfg.get("normalize_on_device", False)
     loaders = {}
     tokenizer = None
     for s in splits:
         ds = build_dataset_from_cfg(cfg.data[s],
                                     dataset_type=cfg.get("dataset"),
-                                    tokenizer=tokenizer, seed=seed)
+                                    tokenizer=tokenizer, seed=seed,
+                                    normalize_on_device=norm_on_device)
         tokenizer = ds.tokenizer
         loaders[s] = build_loader_from_cfg(ds, cfg, train=False,
                                            canvas=img_size, max_gt=max_gt,
@@ -93,7 +95,9 @@ def main():
 
     from simvg_tpu.engine.train import make_eval_step
 
-    eval_step = _jax.jit(make_eval_step(model))
+    device_norm = (dict(cfg.get("img_norm_cfg", {})) or None) \
+        if norm_on_device else None
+    eval_step = _jax.jit(make_eval_step(model, device_norm=device_norm))
     for s, loader in loaders.items():
         m = evaluate(model, params, loader, is_grec=is_grec,
                      eval_step=eval_step,
