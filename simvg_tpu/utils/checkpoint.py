@@ -49,7 +49,8 @@ def save_checkpoint(
     if ema_params is not None:
         items["ema_params"] = ema_params
     for key, tree in items.items():
-        ckptr.save(osp.join(path, key), _to_host(tree))
+        # orbax streams device arrays directly; no host staging copy
+        ckptr.save(osp.join(path, key), tree)
     ckptr.wait_until_finished()
     with open(osp.join(path, "meta.json"), "w") as f:
         json.dump({"epoch": epoch, "metrics": metrics or {},
