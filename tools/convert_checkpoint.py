@@ -357,21 +357,35 @@ def main():
     ap.add_argument("--patch-size", type=int, default=32)
     ap.add_argument("--vit", default="base", choices=["base", "large"])
     ap.add_argument("--num-queries", type=int, default=1)
+    # tiny-encoder overrides (testing / custom sizes)
+    ap.add_argument("--embed-dim", type=int, default=None)
+    ap.add_argument("--num-heads", type=int, default=None)
+    ap.add_argument("--ffn-dim", type=int, default=None)
+    ap.add_argument("--num-layers", type=int, default=None)
+    ap.add_argument("--vocab-size", type=int, default=64010)
+    ap.add_argument("--platform", default=None)
     args = ap.parse_args()
+    if args.platform:
+        import os as _os
+
+        _os.environ["JAX_PLATFORMS"] = args.platform
 
     import jax
 
     from simvg_tpu.models.builder import build_model
     from simvg_tpu.utils.checkpoint import save_checkpoint
 
+    ve = {"vit_type": args.vit, "img_size": args.img_size,
+          "patch_size": args.patch_size, "vocab_size": args.vocab_size}
+    for k in ("embed_dim", "num_heads", "ffn_dim", "num_layers"):
+        v = getattr(args, k)
+        if v is not None:
+            ve[k] = v
+    in_ch = ve.get("embed_dim", 768 if args.vit == "base" else 1024)
     model, _ = build_model(
-        {
-            "type": "MIXDETRMB",
-            "vis_enc": {"vit_type": args.vit, "img_size": args.img_size,
-                        "patch_size": args.patch_size},
-            "head": {"num_queries": args.num_queries,
-                     "in_channels": 768 if args.vit == "base" else 1024},
-        },
+        {"type": "MIXDETRMB", "vis_enc": ve,
+         "head": {"num_queries": args.num_queries, "in_channels": in_ch,
+                  "embed_dim": min(256, in_ch)}},
         img_size=args.img_size,
     )
     b = 1
