@@ -73,3 +73,52 @@ def test_normalize_on_device_matches_host():
     )["img"]
     dev = normalize_images_on_device(jnp.asarray(img[None]), mean, std)
     np.testing.assert_allclose(np.asarray(dev[0]), host, atol=1e-4)
+
+
+def test_device_norm_train_step_matches_host_norm():
+    """uint8 batch + device_norm must give the same loss as a
+    host-normalised float batch."""
+    import optax
+
+    from simvg_tpu.engine import (
+        create_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+
+    model, params, batch = _model_and_batch()
+    mean = [123.675, 116.28, 103.53]
+    std = [58.395, 57.12, 57.375]
+    r = np.random.default_rng(1)
+    raw_u8 = r.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    host_norm = ((raw_u8[..., ::-1].astype(np.float32)
+                  - np.asarray(mean, np.float32))
+                 / np.asarray(std, np.float32))
+
+    gt = dict(
+        gt_boxes=jnp.asarray([[[4, 4, 20, 20]], [[2, 2, 16, 16]]],
+                             jnp.float32),
+        gt_labels=jnp.zeros((2, 1), jnp.int32),
+        gt_valid=jnp.ones((2, 1), bool),
+    )
+    common = {k: batch[k] for k in ("text_ids", "text_padding_mask",
+                                    "img_shape")}
+    tx = create_optimizer(1e-3, steps_per_epoch=10, grad_norm_clip=0.0)
+
+    def run(image, device_norm):
+        step = make_train_step(
+            model, tx,
+            branch_loss_weight={"decoder": 1.0},
+            ema_alpha=None, with_metrics=False,
+            device_norm=device_norm,
+        )
+        state = create_train_state(params, tx, ema=False)
+        _, sc = jax.jit(step)(
+            state, {**common, **gt, "image": jnp.asarray(image)},
+            jax.random.PRNGKey(0),
+        )
+        return float(sc["loss_total"])
+
+    l_host = run(host_norm, None)
+    l_dev = run(raw_u8, {"mean": mean, "std": std, "to_rgb": True})
+    np.testing.assert_allclose(l_dev, l_host, rtol=1e-5)
