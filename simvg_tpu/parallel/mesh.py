@@ -60,12 +60,16 @@ _ROW_PARALLEL = re.compile(r"(fc2_[AB]|out_proj_[AB])/kernel$")
 
 
 def param_sharding(path: str, value, mesh: Mesh) -> NamedSharding:
-    """PartitionSpec for one parameter by its flattened path."""
-    if mesh.shape["model"] > 1 and value.ndim == 2:
+    """PartitionSpec for one parameter by its flattened path.
+
+    Handles both the unrolled layout (2-D kernels) and the scan layout
+    (3-D kernels with a leading [num_layers] axis)."""
+    if mesh.shape["model"] > 1 and value.ndim in (2, 3):
+        lead = (None,) * (value.ndim - 2)
         if _COL_PARALLEL.search(path):
-            return NamedSharding(mesh, P(None, "model"))
+            return NamedSharding(mesh, P(*lead, None, "model"))
         if _ROW_PARALLEL.search(path):
-            return NamedSharding(mesh, P("model", None))
+            return NamedSharding(mesh, P(*lead, "model", None))
     return NamedSharding(mesh, P())
 
 

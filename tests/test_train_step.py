@@ -126,3 +126,51 @@ def test_multistep_lr_warmup_schedule():
     np.testing.assert_allclose(at_epoch(23), 1.0)
     np.testing.assert_allclose(at_epoch(24), 0.1)
     np.testing.assert_allclose(at_epoch(29), 0.1)
+
+
+def test_sharded_step_with_scanned_encoder():
+    """TP sharding must apply to the scan layout's stacked kernels and
+    give the same loss as single-device."""
+    from tools.convert_checkpoint import stack_scan_layers
+
+    cfg = SimVGConfig(
+        beit3=BEiT3Config(
+            img_size=32, patch_size=16, embed_dim=32, num_heads=4,
+            ffn_dim=64, num_layers=2, vocab_size=64, drop_path_rate=0.0,
+            scan_layers=True,
+        ),
+        head=TGQSHeadConfig(
+            num_queries=1, in_channels=32, embed_dim=32,
+            num_decoder_layers=2, num_tgqg_layers=1,
+            attn_dropout=0.0, ffn_dropout=0.0,
+        ),
+    )
+    model = SimVGModel(cfg)
+    batch = _batch(8, seed=5)
+    init_keys = {k: batch[k] for k in
+                 ("image", "text_ids", "text_padding_mask", "img_shape")}
+    params = model.init(jax.random.PRNGKey(0), **init_keys)
+    tx = create_optimizer(1e-3, steps_per_epoch=1000)
+    step_fn = make_train_step(model, tx, branch_loss_weight=BLW,
+                              ema_alpha=None)
+
+    state1 = create_train_state(params, tx, ema=False)
+    _, sc1 = jax.jit(step_fn)(state1, batch, jax.random.PRNGKey(2))
+
+    mesh = create_mesh(8, model_parallel=2)
+    with mesh:
+        p2 = shard_params(params, mesh)
+        # stacked scan kernels must actually be model-sharded
+        from simvg_tpu.parallel.mesh import param_sharding
+
+        fc1 = p2["params"]["beit3"]["layers"]["ffn"]["fc1_A"]["kernel"]
+        assert fc1.ndim == 3
+        spec = fc1.sharding.spec
+        assert "model" in str(spec), spec
+        state2 = create_train_state(p2, tx, ema=False)
+        bsh = NamedSharding(mesh, P("data"))
+        batch2 = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+        _, sc2 = jax.jit(step_fn)(state2, batch2, jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(float(sc1["loss_total"]),
+                               float(sc2["loss_total"]), rtol=1e-4)
