@@ -29,6 +29,26 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+# One shared checkpointer: saves are asynchronous (orbax streams device
+# arrays in a background thread) so the train loop is not blocked; the
+# only forced waits are before touching a path that may still be
+# written, and in wait_for_checkpoints().
+_CKPTR: Optional[ocp.StandardCheckpointer] = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_for_checkpoints():
+    """Block until every in-flight async save has committed."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
 def save_checkpoint(
     work_dir: str,
     name: str,
@@ -38,11 +58,14 @@ def save_checkpoint(
     ema_params=None,
     epoch: int = 0,
     metrics: Optional[Dict[str, float]] = None,
+    block: bool = False,
 ) -> str:
     path = osp.abspath(osp.join(work_dir, name))
+    ckptr = _checkpointer()
     if osp.exists(path):
+        # never delete under an in-flight writer
+        ckptr.wait_until_finished()
         shutil.rmtree(path)
-    ckptr = ocp.StandardCheckpointer()
     items = {"params": params}
     if opt_state is not None:
         items["opt_state"] = opt_state
@@ -51,7 +74,8 @@ def save_checkpoint(
     for key, tree in items.items():
         # orbax streams device arrays directly; no host staging copy
         ckptr.save(osp.join(path, key), tree)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
     with open(osp.join(path, "meta.json"), "w") as f:
         json.dump({"epoch": epoch, "metrics": metrics or {},
                    "items": sorted(items)}, f)
@@ -69,7 +93,8 @@ def load_checkpoint(
     """Returns {"params", ["opt_state"], ["ema_params"], "epoch",
     "metrics"}.  Templates restore exact dtypes/shapes."""
     path = osp.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()  # the path may still be being written
 
     out: Dict[str, Any] = {}
     tmpl = _to_host(params_template) if params_template is not None \

@@ -391,6 +391,9 @@ def main():
                             ema_params=state.ema_params,
                             epoch=epoch + 1)
 
+    from simvg_tpu.utils.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
     logger.info(f"training done; best val det_acc {best_acc:.2f}")
 
 
