@@ -62,6 +62,7 @@ def make_train_step(
     ema_alpha: Optional[float] = None,
     dp_size: int = 1,
     with_metrics: bool = True,
+    return_predictions: bool = False,
     device_norm: Optional[Dict] = None,
 ) -> Callable:
     """Build the pure train_step(state, batch, rng) -> (state, scalars).
@@ -134,6 +135,18 @@ def make_train_step(
         scalars["grad_norm"] = optax.global_norm(grads)
         if with_metrics:
             scalars.update(_train_metrics(out, batch))
+        if return_predictions:
+            # decoded predictions for host-side train metrics (the
+            # reference computes GRec F1/N-acc during training,
+            # apis/train.py:104-140)
+            scalars["predictions"] = {
+                name: decode_predictions(out[ck][-1], out[bk][-1],
+                                         batch["img_shape"])
+                for name, ck, bk in (
+                    ("decoder", "class_decoder", "bbox_decoder"),
+                    ("token", "class_token", "bbox_token"),
+                )
+            }
         return new_state, scalars
 
     return train_step

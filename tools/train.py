@@ -256,6 +256,7 @@ def main():
             mlp_aux_loss=loss_cfg.get("mlp_aux_loss", False),
             ema_alpha=cfg.get("ema_factor", 0.999) if use_ema else None,
             with_metrics=not is_grec,
+            return_predictions=is_grec,
             device_norm=device_norm,
         ),
         donate_argnums=(0,),
@@ -320,10 +321,33 @@ def main():
             device_batch = {k: v for k, v in batch.items() if k != "meta"}
             state, scalars = train_step(state, device_batch, step_rng)
             if (it + 1) % log_interval == 0 or it + 1 == steps_per_epoch:
+                preds = scalars.pop("predictions", None)
                 s = {k: float(v) for k, v in scalars.items()}
+                if is_grec and preds is not None:
+                    # train-time GRec metrics on host
+                    # (apis/train.py:104-140 equivalent)
+                    from simvg_tpu.engine.metrics import grec_f1_nacc
+
+                    for bname in ("decoder", "token"):
+                        p = preds[bname]
+                        boxes = np.asarray(p["boxes"])
+                        scores = np.asarray(p["scores"])
+                        gb, sc_l, gts, tgts = [], [], [], []
+                        for i, m in enumerate(batch["meta"]):
+                            nt = int(np.asarray(
+                                batch["gt_valid"][i]).sum())
+                            gb.append(boxes[i])
+                            sc_l.append(scores[i])
+                            gts.append(np.asarray(
+                                batch["gt_boxes"][i][:nt]))
+                            tgts.append(m["target"])
+                        gm = grec_f1_nacc(gb, sc_l, gts, tgts)
+                        s[f"{bname}_F1"] = gm["F1_score"]
+                        s[f"{bname}_Nacc"] = gm["N_acc"]
                 msg = ", ".join(
                     f"{k}: {v:.4f}" for k, v in s.items()
                     if k.startswith("loss") or k.endswith("det_acc")
+                    or k.endswith("_F1") or k.endswith("_Nacc")
                 )
                 logger.info(
                     f"train - epoch [{epoch + 1}]"
