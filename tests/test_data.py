@@ -270,3 +270,29 @@ def test_mixed_dataset_multi_source(tmp_path):
     assert s0["img"].shape == (32, 32, 3)
     assert "COCO_train2014" in s0["filename"]
     assert s1["filename"].endswith("2.jpg")
+
+
+def test_filename_schemes(tmp_path):
+    """Per-dataset image filename conventions (loading.py:82-95)."""
+    from simvg_tpu.data.datasets import _filename_for
+
+    assert _filename_for(
+        "ReferItGameBerkeley", {"image_id": 7}, "/imgs"
+    ) == "/imgs/7.jpg"
+    assert _filename_for(
+        "Flickr30k", {"image_id": 12345}, "/imgs"
+    ) == "/imgs/12345.jpg"
+    assert _filename_for(
+        "RefCOCOPlusUNC", {"image_id": 9}, "/imgs"
+    ) == "/imgs/COCO_train2014_000000000009.jpg"
+    assert _filename_for(
+        "GRefCOCO", {"image_id": 9}, "/imgs"
+    ) == "/imgs/COCO_train2014_000000000009.jpg"
+    assert _filename_for(
+        "Mixed", {"image_id": 3, "data_source": "coco"},
+        {"coco": "/c", "flickr": "/f"},
+    ) == "/c/COCO_train2014_000000000003.jpg"
+    assert _filename_for(
+        "Mixed", {"image_id": 3, "data_source": "flickr"},
+        {"coco": "/c", "flickr": "/f"},
+    ) == "/f/3.jpg"
