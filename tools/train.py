@@ -270,6 +270,20 @@ def main():
 
     import json as _json
 
+    from simvg_tpu.engine.train_state import (
+        cosine_annealing_lr,
+        multistep_lr_warmup,
+    )
+
+    if sch_cfg.get("type", "MultiStepLRWarmUp") == "MultiStepLRWarmUp":
+        _lr_sched = multistep_lr_warmup(
+            lr, steps_per_epoch, sch_cfg.get("warmup_epochs", 3),
+            tuple(sch_cfg.get("decay_steps", (25,))),
+            sch_cfg.get("decay_ratio", 0.1))
+    else:
+        _lr_sched = cosine_annealing_lr(
+            lr, steps_per_epoch, sch_cfg.get("T_max", max_epoch))
+
     metrics_path = osp.join(work_dir, "metrics.jsonl")
 
     def emit_metrics(kind, payload):
@@ -349,10 +363,12 @@ def main():
                     if k.startswith("loss") or k.endswith("det_acc")
                     or k.endswith("_F1") or k.endswith("_Nacc")
                 )
+                cur_lr = float(_lr_sched(
+                    jnp.asarray(epoch * steps_per_epoch + it)))
                 logger.info(
                     f"train - epoch [{epoch + 1}]"
                     f"[{it + 1}/{steps_per_epoch}] "
-                    f"data_time: {data_time:.3f}, {msg}"
+                    f"data_time: {data_time:.3f}, lr: {cur_lr:.6f}, {msg}"
                 )
                 emit_metrics("train", {"epoch": epoch + 1, "iter": it + 1,
                                        "data_time": data_time, **s})
