@@ -1,18 +1,27 @@
-"""Fused multi-head attention Pallas kernel for TPU.
+"""Fused multi-head attention Pallas kernel for TPU (fwd + custom VJP).
 
 The hottest op in the stack: BEiT-3 self-attention over the joint
 [CLS]+patches+text sequence (SURVEY.md "hot loops": ~95% of FLOPs,
 12-24 layers x 421-1621 tokens).  Design:
 
-- grid (B, H, Sq/block_q): each program computes one query block of one
+- grid (B*H, Sq/block_q): each program computes one query block of one
   head, with the head's FULL K/V resident in VMEM (S <= ~2k tokens and
   head_dim 64 -> K is <1 MB: far under the 16 MB VMEM budget, so no
   online-softmax streaming is needed; one-shot softmax per query block
   keeps the kernel simple and the MXU busy).
 - logits and softmax in float32 (parity with torchscale's fp32 softmax,
   beit3_base.py attention), output cast back to the input dtype.
-- key-padding mask (1 = padded, the reference convention) plus the
-  block-padding mask folded into one additive bias.
+- key-padding mask (1 = padded, the reference convention) folded into
+  one additive bias.
+- custom VJP: the backward kernel recomputes the probabilities
+  (flash-style, no [Sq, Sk] residual) and accumulates dK/dV across
+  query blocks by revisiting the same output block (the dK/dV index
+  map is constant along the query-block grid axis, so Mosaic keeps the
+  accumulator in VMEM for the whole row of the grid).
+
+Measured on v5e (bf16, b=8): 1.49x faster than XLA's fused attention at
+S=1621 (patch-16), ~0.8x at S=421 (patch-32) — choose via
+``attn_impl`` per config.
 
 Sequence/query lengths are padded to block multiples outside the kernel
 (static shapes; padding keys are masked, padding query rows are sliced
@@ -31,27 +40,160 @@ from jax.experimental import pallas as pl
 _NEG = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
-    # q [1, block_q, hd]; k/v [1, Sk, hd]; bias [1, 1, Sk] additive (f32)
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
+def _probs(q, k, bias):
     logits = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    logits = logits + bias_ref[0]  # [1, Sk] broadcasts over block_q
+    logits = logits + bias  # [1, Sk] broadcasts over the query block
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
-    s = jnp.sum(e, axis=-1, keepdims=True)
-    probs = (e / s).astype(v.dtype)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    # q [1, block_q, hd]; k/v [1, Sk, hd]; bias [1, 1, Sk] additive (f32)
+    probs = _probs(q_ref[0], k_ref[0], bias_ref[0]).astype(v_ref.dtype)
     out = jax.lax.dot_general(
-        probs, v,
+        probs, v_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref):
+    """One (head, query-block) program of the attention backward.
+
+    dV = P^T dO ; dP = dO V^T ; dL = P*(dP - rowsum(dP*P)) ;
+    dQ = dL K ; dK = dL^T Q.  dK/dV accumulate across query blocks.
+    """
+    qi = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+
+    p = _probs(q, k, bias_ref[0])  # [bq, sk] f32
+
+    dv_c = jax.lax.dot_general(  # P^T @ dO -> [sk, hd]
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(  # dO @ V^T -> [bq, sk]
+        do, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+    dq = jax.lax.dot_general(  # dL @ K -> [bq, hd]
+        dl, k.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_c = jax.lax.dot_general(  # dL^T @ Q -> [sk, hd]
+        dl, q.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_ref[0] = dk_c.astype(dk_ref.dtype)
+        dv_ref[0] = dv_c.astype(dv_ref.dtype)
+
+    @pl.when(qi > 0)
+    def _accum():
+        dk_ref[0] = dk_ref[0] + dk_c.astype(dk_ref.dtype)
+        dv_ref[0] = dv_ref[0] + dv_c.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attention_flat(qf, kf, vf, bias, block_q: int, interpret: bool):
+    """Core attention on the flattened [B*H, S, hd] layout."""
+    return _attention_flat_fwd(qf, kf, vf, bias, block_q, interpret)[0]
+
+
+def _flat_call(qf, kf, vf, bias, block_q, interpret):
+    bh, sq_p, hd = qf.shape
+    sk_p = kf.shape[1]
+    h_ratio = bh // bias.shape[0]
+    grid = (bh, sq_p // block_q)
+    return pl.pallas_call(
+        _attn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda b, qi: (b, qi, 0)),
+            pl.BlockSpec((1, sk_p, hd), lambda b, qi: (b, 0, 0)),
+            pl.BlockSpec((1, sk_p, hd), lambda b, qi: (b, 0, 0)),
+            pl.BlockSpec((1, 1, sk_p),
+                         lambda b, qi: (b // h_ratio, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd),
+                               lambda b, qi: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, hd), qf.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq_p * sk_p * hd,
+            bytes_accessed=(qf.size + kf.size + vf.size)
+            * qf.dtype.itemsize,
+            transcendentals=bh * sq_p * sk_p,
+        ),
+    )(qf, kf, vf, bias)
+
+
+def _attention_flat_fwd(qf, kf, vf, bias, block_q, interpret):
+    out = _flat_call(qf, kf, vf, bias, block_q, interpret)
+    return out, (qf, kf, vf, bias)
+
+
+def _attention_flat_bwd(block_q, interpret, res, do):
+    qf, kf, vf, bias = res
+    bh, sq_p, hd = qf.shape
+    sk_p = kf.shape[1]
+    h_ratio = bh // bias.shape[0]
+    grid = (bh, sq_p // block_q)
+    dq, dk, dv = pl.pallas_call(
+        _attn_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda b, qi: (b, qi, 0)),
+            pl.BlockSpec((1, sk_p, hd), lambda b, qi: (b, 0, 0)),
+            pl.BlockSpec((1, sk_p, hd), lambda b, qi: (b, 0, 0)),
+            pl.BlockSpec((1, 1, sk_p),
+                         lambda b, qi: (b // h_ratio, 0, 0)),
+            pl.BlockSpec((1, block_q, hd), lambda b, qi: (b, qi, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, hd), lambda b, qi: (b, qi, 0)),
+            # dK/dV: constant along qi -> the block stays in VMEM and
+            # accumulates across the query-block loop
+            pl.BlockSpec((1, sk_p, hd), lambda b, qi: (b, 0, 0)),
+            pl.BlockSpec((1, sk_p, hd), lambda b, qi: (b, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq_p, hd), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sk_p, hd), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sk_p, hd), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * sq_p * sk_p * hd,
+            bytes_accessed=2 * (qf.size + kf.size + vf.size)
+            * qf.dtype.itemsize,
+            transcendentals=bh * sq_p * sk_p,
+        ),
+    )(qf, kf, vf, bias, do)
+    return (dq.astype(qf.dtype), dk.astype(kf.dtype),
+            dv.astype(vf.dtype), jnp.zeros_like(bias))
+
+
+_attention_flat.defvjp(_attention_flat_fwd, _attention_flat_bwd)
 
 
 @functools.partial(
@@ -67,7 +209,7 @@ def fused_attention(
     block_q: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns [B, Sq, H, hd] in q.dtype."""
+    """Returns [B, Sq, H, hd] in q.dtype.  Differentiable (custom VJP)."""
     b, sq, h, hd = q.shape
     sk = k.shape[1]
     if attn_bias is not None:
@@ -99,25 +241,6 @@ def fused_attention(
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk_p, hd)
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk_p, hd)
 
-    grid = (b * h, sq_p // block_q)
-    out = pl.pallas_call(
-        _attn_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, sk_p, hd), lambda bh, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, sk_p, hd), lambda bh, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, 1, sk_p), lambda bh, qi: (bh // h, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, hd),
-                               lambda bh, qi: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, hd), q.dtype),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * sq_p * sk_p * hd,
-            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=b * h * sq_p * sk_p,
-        ),
-    )(qf, kf, vf, bias)
+    out = _attention_flat(qf, kf, vf, bias, block_q, interpret)
     out = out.reshape(b, h, sq_p, hd).transpose(0, 2, 1, 3)
     return out[:, :sq]

@@ -78,3 +78,33 @@ def test_multihead_attention_pallas_impl_flag():
         pa.fused_attention = orig
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5)
+
+
+def test_fused_attention_gradients_match_xla():
+    """Custom-VJP backward kernel vs autodiff through the XLA path."""
+    b, s, h, hd = 2, 45, 4, 32
+    q, k, v = _mk(b, s, h, hd, seed=5)
+    pad = jnp.zeros((b, s), jnp.int32).at[:, 40:].set(1)
+    scale = hd ** -0.5
+    cot = jnp.asarray(
+        np.random.default_rng(6).normal(size=(b, s, h, hd)), jnp.float32
+    )
+
+    def loss_pallas(q, k, v):
+        out = fused_attention(
+            (q * scale).reshape(b, s, h, hd), k.reshape(b, s, h, hd),
+            v.reshape(b, s, h, hd), key_padding_mask=pad, block_q=16,
+            interpret=True,
+        )
+        return (out * cot).sum()
+
+    def loss_xla(q, k, v):
+        out = multihead_attention(q, k, v, num_heads=h,
+                                  key_padding_mask=pad)
+        return (out.reshape(b, s, h, hd) * cot).sum()
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-4, rtol=1e-3)
