@@ -74,28 +74,32 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
+    cdtype = q.dtype  # matmul operand dtype (bf16 on the MXU);
+    # softmax math and accumulation stay f32
 
     p = _probs(q, k, bias_ref[0])  # [bq, sk] f32
+    p_c = p.astype(cdtype)
 
     dv_c = jax.lax.dot_general(  # P^T @ dO -> [sk, hd]
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        p_c, do, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dp = jax.lax.dot_general(  # dO @ V^T -> [bq, sk]
-        do, v.astype(jnp.float32),
+        do, v,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dl_c = dl.astype(cdtype)
 
     dq = jax.lax.dot_general(  # dL @ K -> [bq, hd]
-        dl, k.astype(jnp.float32),
+        dl_c, k,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dk_c = jax.lax.dot_general(  # dL^T @ Q -> [sk, hd]
-        dl, q.astype(jnp.float32),
+        dl_c, q,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
