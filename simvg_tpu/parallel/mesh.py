@@ -33,9 +33,22 @@ def create_mesh(
 ) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"create_mesh: requested {n_devices} devices but only "
+                f"{len(devices)} available ({devices}). For multi-chip "
+                "testing without hardware, force a virtual CPU mesh: set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} and JAX_PLATFORMS=cpu before importing jax "
+                "(see tests/conftest.py)."
+            )
         devices = devices[:n_devices]
     n = len(devices)
-    assert n % model_parallel == 0, (n, model_parallel)
+    if n % model_parallel != 0:
+        raise ValueError(
+            f"create_mesh: {n} devices not divisible by "
+            f"model_parallel={model_parallel}"
+        )
     arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, ("data", "model"))
 
