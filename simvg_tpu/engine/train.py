@@ -180,9 +180,14 @@ def make_eval_step(model, device_norm: Optional[Dict] = None) -> Callable:
             ("decoder", "class_decoder", "bbox_decoder"),
             ("token", "class_token", "bbox_token"),
         ):
+            # rescale=False: predictions stay in RESIZED image scale,
+            # matching the GT boxes the loader carries — the reference
+            # evaluates in resized scale too (apis/test.py:207 passes
+            # rescale=False). Rescaling to the original image here while
+            # GT stays resized made Prec@0.5 garbage whenever
+            # scale_factor != 1 (round-1 VERDICT Weak #1).
             preds[name] = decode_predictions(
-                out[ck][-1], out[bk][-1], batch["img_shape"],
-                batch.get("scale_factor"),
+                out[ck][-1], out[bk][-1], batch["img_shape"]
             )
         return preds
 
