@@ -87,11 +87,16 @@ def build_dataset_from_cfg(split_cfg: Dict[str, Any], *,
 def build_loader_from_cfg(dataset: BaseDataset, cfg, *, train: bool,
                           canvas: int, max_gt: int = 1,
                           seed: int = 6666, shard_id: int = 0,
-                          num_shards: int = 1) -> DataLoader:
+                          num_shards: int = 1,
+                          batch_scale: int = 1) -> DataLoader:
+    """batch_scale: multiply samples_per_gpu by the number of local
+    chips this process feeds — the reference's samples_per_gpu is
+    PER-DEVICE (one DDP process per GPU, tools/dist_train.sh), while one
+    JAX process feeds all its local devices with one global array."""
     data = cfg["data"]
     return DataLoader(
         dataset,
-        batch_size=data.get("samples_per_gpu", 32),
+        batch_size=data.get("samples_per_gpu", 32) * max(batch_scale, 1),
         canvas=canvas,
         max_gt=max_gt,
         shuffle=train,

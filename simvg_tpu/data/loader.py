@@ -186,6 +186,16 @@ class DataLoader:
 
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.bs]
+        if self.num_shards > 1 and batches:
+            # every process must yield the SAME number of batches per
+            # epoch: each train step is a global SPMD collective, so a
+            # host with an extra batch would hang at epoch end (the
+            # reference's DistributedGroupSampler pads ranks to equal
+            # totals for the same reason). Wrap-pad to a multiple of
+            # num_shards before slicing.
+            pad = (-len(batches)) % self.num_shards
+            if pad:
+                batches = batches + batches[:pad]
         return batches[self.shard_id::self.num_shards]
 
     def __len__(self):

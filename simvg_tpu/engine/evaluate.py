@@ -25,9 +25,14 @@ def evaluate(
     eval_step: Optional[Callable] = None,
     log_fn: Optional[Callable[[str], None]] = None,
     log_interval: int = 50,
+    put_fn: Optional[Callable[[Dict], Dict]] = None,
 ) -> Dict[str, float]:
     """Returns per-branch metrics + the reference's summary scalar pair
-    (mean det_acc over branches; for GRec (F1, N-acc))."""
+    (mean det_acc over branches; for GRec (F1, N-acc)).
+
+    put_fn: optional transform placing the device batch (e.g. sharded
+    over the mesh's data axis, or assembled into global arrays on
+    multi-host) before the jitted step."""
     step = eval_step or jax.jit(make_eval_step(model))
 
     acc: Dict[str, Dict] = {
@@ -41,6 +46,8 @@ def evaluate(
         device_batch = {
             k: v for k, v in batch.items() if k != "meta"
         }
+        if put_fn is not None:
+            device_batch = put_fn(device_batch)
         preds = step(params, device_batch)
         valid = np.asarray(batch["batch_valid"])
 

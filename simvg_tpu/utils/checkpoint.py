@@ -58,6 +58,7 @@ def save_checkpoint(
     ema_params=None,
     epoch: int = 0,
     metrics: Optional[Dict[str, float]] = None,
+    ema_step: Optional[int] = None,
     block: bool = False,
 ) -> str:
     path = osp.abspath(osp.join(work_dir, name))
@@ -78,6 +79,11 @@ def save_checkpoint(
         ckptr.wait_until_finished()
     with open(osp.join(path, "meta.json"), "w") as f:
         json.dump({"epoch": epoch, "metrics": metrics or {},
+                   # EMA warmup counter: without it, resume restarts the
+                   # warmup decay min(alpha,(t+1)/(t+10)) at t=0 and the
+                   # first post-resume update collapses the shadow ~90%
+                   # toward the live params
+                   "ema_step": ema_step,
                    "items": sorted(items)}, f)
     return path
 
@@ -113,6 +119,7 @@ def load_checkpoint(
         meta = json.load(open(meta_path))
     out["epoch"] = meta.get("epoch", 0)
     out["metrics"] = meta.get("metrics", {})
+    out["ema_step"] = meta.get("ema_step")
     return out
 
 

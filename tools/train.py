@@ -103,6 +103,25 @@ def main():
     cfg.dump(osp.join(work_dir, "config.py"))
     logger.info(f"work_dir: {work_dir}; devices: {jax.devices()}")
 
+    # ---- device mesh: ALWAYS created, so a single process drives all
+    # its local chips data-parallel (the reference's 8-GPU DDP,
+    # /root/reference/tools/train.py:102-103, maps to the standard TPU
+    # topology of ONE process per host feeding 8 chips).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from simvg_tpu.parallel import create_mesh, shard_params
+
+    mesh = create_mesh(model_parallel=cfg.get("model_parallel", 1))
+    dp = mesh.shape["data"]
+    pc = jax.process_count()
+    if dp % pc:
+        raise ValueError(f"data-parallel size {dp} not divisible by "
+                         f"process count {pc}")
+    batch_sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+    logger.info(f"mesh: {dict(mesh.shape)} "
+                f"({dp}-way data parallel, {pc} process(es))")
+
     # ---- data
     img_size = cfg.get("img_size", 640)
     is_grec = cfg.get("dataset") == "GRefCOCO"
@@ -115,12 +134,14 @@ def main():
                                       dataset_type=cfg.get("dataset"),
                                       seed=seed,
                                       normalize_on_device=norm_on_device)
-    # Multi-host: each process loads its shard of the batch stream
-    # (DistributedSampler role); single host gets the full stream.
+    # samples_per_gpu is PER-CHIP (reference semantics: one DDP process
+    # per GPU); each jax process loads its dp/pc chips' worth and the
+    # global batch is spg * dp. Multi-host additionally shards the
+    # batch stream by process (DistributedSampler role).
     train_loader = build_loader_from_cfg(
         train_ds, cfg, train=True, canvas=img_size, max_gt=max_gt,
         seed=seed, shard_id=jax.process_index(),
-        num_shards=jax.process_count(),
+        num_shards=pc, batch_scale=dp // pc,
     )
     val_loaders = {}
     eval_splits = [k for k in cfg.data
@@ -134,18 +155,26 @@ def main():
                                     normalize_on_device=norm_on_device)
         val_loaders[split] = build_loader_from_cfg(
             ds, cfg, train=False, canvas=img_size, max_gt=max_gt,
-            seed=seed,
+            seed=seed, batch_scale=dp // pc,
         )
 
     # ---- model
     dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else jnp.float32
     model, loss_cfg = build_model(cfg.model, img_size=img_size,
                                   dtype=dtype)
+    if len(train_loader) == 0:
+        raise ValueError(
+            f"train loader is empty: global batch "
+            f"{cfg.data.get('samples_per_gpu', 32)} x {dp} chips exceeds "
+            f"the {len(train_ds)}-sample dataset (drop_last). Reduce "
+            "data.samples_per_gpu."
+        )
     sample = next(iter(train_loader))
     init_batch = {k: sample[k] for k in
                   ("image", "text_ids", "text_padding_mask", "img_shape")}
     rng = jax.random.PRNGKey(seed)
     params = model.init(rng, **init_batch)
+    params = shard_params(params, mesh)  # replicated when model=1
     n_params = sum(x.size for x in jax.tree.leaves(params))
     logger.info(f"model params: {n_params / 1e6:.2f}M")
 
@@ -218,11 +247,17 @@ def main():
                              params_template=state.params,
                              opt_state_template=state.opt_state,
                              with_opt=True, with_ema=use_ema)
+        resumed_step = ck["epoch"] * steps_per_epoch
         state = state.replace(
             params=ck["params"],
             opt_state=ck.get("opt_state", state.opt_state),
             ema_params=ck.get("ema_params", state.ema_params),
-            step=jnp.asarray(ck["epoch"] * steps_per_epoch, jnp.int32),
+            step=jnp.asarray(resumed_step, jnp.int32),
+            # restore the EMA warmup counter (fall back to the global
+            # step, which equals it when EMA ran from step 0)
+            ema_step=jnp.asarray(
+                ck.get("ema_step") if ck.get("ema_step") is not None
+                else resumed_step, jnp.int32),
         )
         start_epoch = ck["epoch"]
         logger.info(f"resumed from {args.resume_from} @ epoch "
@@ -241,6 +276,18 @@ def main():
         state = state.replace(params=ck["params"])
         logger.info(f"finetuned from {args.finetune_from}")
 
+    if args.resume_from or args.load_from or args.finetune_from:
+        # restored arrays live on the default device; re-place onto the
+        # mesh (params by TP rules, everything else replicated)
+        state = state.replace(
+            params=shard_params(state.params, mesh),
+            ema_params=(shard_params(state.ema_params, mesh)
+                        if state.ema_params is not None else None),
+            opt_state=jax.tree.map(
+                lambda x: jax.device_put(x, replicated)
+                if hasattr(x, "shape") else x, state.opt_state),
+        )
+
     from simvg_tpu.engine.train import make_eval_step
 
     device_norm = (dict(cfg.get("img_norm_cfg", {})) or None) \
@@ -255,6 +302,7 @@ def main():
             distill_type=loss_cfg["distill_type"],
             mlp_aux_loss=loss_cfg.get("mlp_aux_loss", False),
             ema_alpha=cfg.get("ema_factor", 0.999) if use_ema else None,
+            dp_size=dp,
             with_metrics=not is_grec,
             return_predictions=is_grec,
             device_norm=device_norm,
@@ -294,28 +342,20 @@ def main():
 
     from simvg_tpu.data.prefetch import device_prefetch
 
-    if jax.process_count() > 1:
-        # EXPERIMENTAL multi-host path: every process contributes its
-        # local batch as one shard of the global batch (global batch =
-        # process_count * samples_per_gpu), assembled into jit-visible
-        # global arrays. Single-controller semantics: all hosts run the
-        # same program.
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from simvg_tpu.parallel import create_mesh
-
-        mesh = create_mesh()
-        bsh = NamedSharding(mesh, P("data"))
-
+    if pc > 1:
+        # Multi-host path: every process contributes its local batch as
+        # one shard of the global batch (global batch = pc * local),
+        # assembled into jit-visible global arrays. Single-controller
+        # semantics: all hosts run the same program.
         def to_global(batch):
             out = {}
             for k, v in batch.items():
                 if k == "meta":
                     out[k] = v
                     continue
-                gshape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+                gshape = (v.shape[0] * pc,) + v.shape[1:]
                 out[k] = jax.make_array_from_process_local_data(
-                    bsh, np.asarray(v), gshape
+                    batch_sharding, np.asarray(v), gshape
                 )
             return out
 
@@ -323,8 +363,21 @@ def main():
             for local in loader:
                 yield to_global(local)
     else:
+        # Single process, all local chips: batches land pre-sharded on
+        # the "data" axis, so the jitted step runs dp-way data parallel
+        # (DDP equivalent) without any per-step host work.
         def batch_stream(loader):
-            return device_prefetch(iter(loader), size=2)
+            return device_prefetch(iter(loader), size=2,
+                                   sharding=batch_sharding)
+
+    def eval_put(device_batch):
+        if pc > 1:
+            return {k: jax.make_array_from_process_local_data(
+                batch_sharding, np.asarray(v),
+                (v.shape[0] * pc,) + v.shape[1:])
+                for k, v in device_batch.items()}
+        return {k: jax.device_put(v, batch_sharding)
+                for k, v in device_batch.items()}
 
     for epoch in range(start_epoch, max_epoch):
         train_loader.set_epoch(epoch)
@@ -333,6 +386,10 @@ def main():
         for it, batch in enumerate(batch_stream(train_loader)):
             data_time = time.time() - t_data
             device_batch = {k: v for k, v in batch.items() if k != "meta"}
+            if epoch == start_epoch and it == 0:
+                img = device_batch["image"]
+                logger.info(f"global batch image: shape={img.shape} "
+                            f"sharding={img.sharding}")
             state, scalars = train_step(state, device_batch, step_rng)
             if (it + 1) % log_interval == 0 or it + 1 == steps_per_epoch:
                 preds = scalars.pop("predictions", None)
@@ -374,10 +431,11 @@ def main():
                                        "data_time": data_time, **s})
             t_data = time.time()
         ep_time = time.time() - t_ep
-        bs = cfg.data.get("samples_per_gpu", 32)
+        global_bs = cfg.data.get("samples_per_gpu", 32) * dp
         logger.info(
             f"epoch {epoch + 1} done in {ep_time:.1f}s "
-            f"({steps_per_epoch * bs / max(ep_time, 1e-9):.1f} img/s)"
+            f"({steps_per_epoch * global_bs / max(ep_time, 1e-9):.1f} "
+            "img/s global)"
         )
 
         if (epoch + 1) % evaluate_interval == 0 and epoch >= start_eval:
@@ -386,7 +444,8 @@ def main():
                                    is_grec=is_grec,
                                    eval_step=eval_step,
                                    log_fn=logger.info,
-                                   log_interval=log_interval)
+                                   log_interval=log_interval,
+                                   put_fn=eval_put)
                 logger.info(f"eval[{split}] epoch {epoch + 1}: " + ", ".join(
                     f"{k}: {v:.2f}" for k, v in metrics.items()
                 ))
@@ -395,7 +454,8 @@ def main():
                 if use_ema and state.ema_params is not None:
                     m_ema = evaluate(model, state.ema_params, loader,
                                      is_grec=is_grec,
-                                     eval_step=eval_step)
+                                     eval_step=eval_step,
+                                     put_fn=eval_put)
                     logger.info(
                         f"eval[{split}][EMA] epoch {epoch + 1}: "
                         + ", ".join(f"{k}: {v:.2f}"
@@ -413,6 +473,7 @@ def main():
                             ema_params=state.ema_params,
                             epoch=epoch + 1,
                             metrics=metrics,
+                            ema_step=(int(state.ema_step) if state.ema_step is not None else None),
                         )
 
         save_checkpoint(
@@ -422,6 +483,7 @@ def main():
             ema_params=state.ema_params,
             epoch=epoch + 1,
             metrics={"best_det_acc": best_acc},
+            ema_step=(int(state.ema_step) if state.ema_step is not None else None),
         )
         save_interval = cfg.get("save_interval", -1)
         if save_interval and save_interval > 0 and (
@@ -429,7 +491,8 @@ def main():
             save_checkpoint(work_dir, f"epoch_{epoch + 1}",
                             params=state.params,
                             ema_params=state.ema_params,
-                            epoch=epoch + 1)
+                            epoch=epoch + 1,
+                            ema_step=(int(state.ema_step) if state.ema_step is not None else None))
 
     from simvg_tpu.utils.checkpoint import wait_for_checkpoints
 
