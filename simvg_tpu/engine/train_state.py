@@ -129,6 +129,37 @@ def _freeze_label(path_parts, freeze_layer: int) -> bool:
     return False
 
 
+def _scan_freeze_mask(freeze_layer: int) -> optax.GradientTransformation:
+    """Freeze stacked (nn.scan) encoder layers [0, freeze_layer).
+
+    The unrolled layout freezes whole ``layers_N`` leaves via the
+    "frozen" label + set_to_zero; the scanned layout stacks every layer
+    in ONE leaf under a ``layers`` node with a leading [num_layers]
+    axis, so freezing must zero update ROWS along that axis instead
+    (reference: requires_grad=False on encoder.layers[:freeze_layer],
+    simvg/models/vis_encs/beit/beit3.py:78-90)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def mask(kp, u):
+            keys = [str(getattr(p, "key", p)) for p in kp]
+            if "layers" in keys and _group_label(kp) == "vis_enc":
+                keep = jnp.arange(u.shape[0]) >= freeze_layer
+                return u * keep.reshape(
+                    (-1,) + (1,) * (u.ndim - 1)
+                ).astype(u.dtype)
+            return u
+
+        return jax.tree_util.tree_map_with_path(mask, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def create_optimizer(
     lr: float,
     steps_per_epoch: int,
@@ -207,6 +238,9 @@ def create_optimizer(
         transforms = dict(transforms, frozen=optax.set_to_zero())
 
     tx = optax.multi_transform(transforms, label_fn)
+    if freeze_layer >= 0:
+        # scan (stacked) layout: zero the frozen layers' update rows
+        tx = optax.chain(tx, _scan_freeze_mask(freeze_layer))
     if grad_norm_clip and grad_norm_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(grad_norm_clip), tx)
     return tx
