@@ -224,14 +224,36 @@ class LargeScaleJitter:
                         break
             if not flag:
                 if best_iou < self.min_iou_thr:
-                    # give up: keep the downscaled-only image
+                    # give up: rand_scale > 1 means the image long side
+                    # is rand_scale*out_max_size, which the downstream
+                    # Pad/collate canvas cannot hold — rescale back to
+                    # the keep-ratio fit (<= out_max_size), like the
+                    # reference's escape path keeps the fitted image
+                    img = cv2.resize(img, (w_out, h_out),
+                                     interpolation=cv2.INTER_LINEAR)
+                    if s.get("with_mask") and "gt_mask" in s:
+                        s["gt_mask"] = cv2.resize(
+                            s["gt_mask"], (w_out, h_out),
+                            interpolation=cv2.INTER_NEAREST)
+                        from simvg_tpu.ops import rle as rle_ops
+
+                        s["gt_mask_rle"] = rle_ops.encode(s["gt_mask"])
+                    back = np.asarray(
+                        [w_out / new_w, h_out / new_h,
+                         w_out / new_w, h_out / new_h], np.float64)
+                    if s.get("with_bbox"):
+                        if multi:
+                            gt_bbox = [b * back for b in gt_bbox]
+                        else:
+                            gt_bbox = gt_bbox * back
+                        s["gt_bbox"] = self._clip(gt_bbox, w_out, h_out,
+                                                  multi)
                     s["img"] = img
                     s["img_shape"] = img.shape
                     s["pad_shape"] = img.shape
-                    s["scale_factor"] = np.asarray([1.0] * 4, np.float32)
-                    if s.get("with_bbox"):
-                        s["gt_bbox"] = self._clip(gt_bbox, new_w, new_h,
-                                                  multi)
+                    s["scale_factor"] = np.asarray(
+                        [w_out / w, h_out / h, w_out / w, h_out / h],
+                        np.float32)
                     return s
                 crop, offset = history[best_idx]
             crop = crop.astype(np.uint32)

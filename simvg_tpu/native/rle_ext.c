@@ -137,7 +137,10 @@ static PyObject *mask_from_runs(PyObject *self, PyObject *args) {
         int64_t run = PyLong_AsLongLong(
             PySequence_Fast_GET_ITEM(fast, i));
         if (run == -1 && PyErr_Occurred()) goto fail;
-        if (run < 0 || pos + run > total) {
+        /* run > total - pos: avoids signed overflow of pos + run
+           when a hostile varint decodes near INT64_MAX (pos <= total
+           invariant holds throughout) */
+        if (run < 0 || run > total - pos) {
             PyErr_SetString(PyExc_ValueError, "runs overflow mask size");
             goto fail;
         }

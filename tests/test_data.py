@@ -296,3 +296,23 @@ def test_filename_schemes(tmp_path):
         "Mixed", {"image_id": 3, "data_source": "flickr"},
         {"coco": "/c", "flickr": "/f"},
     ) == "/f/3.jpg"
+
+
+def test_lsj_giveup_never_exceeds_canvas():
+    """LargeScaleJitter give-up branch (upscale + unsatisfiable crop IoU)
+    must rescale back to <= out_max_size so Pad/collate can hold it."""
+    import random
+
+    from simvg_tpu.data.transforms import LargeScaleJitter
+
+    lsj = LargeScaleJitter(out_max_size=64, jitter_min=1.35,
+                           jitter_max=1.4, min_iou_thr=0.99,
+                           jitter_times=3, rng=random.Random(0))
+    img = np.zeros((100, 100, 3), np.uint8)
+    s = dict(img=img, ori_shape=img.shape, with_bbox=True,
+             gt_bbox=np.asarray([0.0, 0.0, 99.0, 99.0]))
+    out = lsj(s)
+    assert max(out["img"].shape[:2]) <= 64, out["img"].shape
+    assert out["gt_bbox"].max() <= 64
+    # scale_factor reflects the fitted resize (resized / original)
+    np.testing.assert_allclose(out["scale_factor"], 0.64, rtol=1e-6)
