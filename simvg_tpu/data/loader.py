@@ -82,6 +82,17 @@ def collate(samples: List[dict], canvas: int, max_gt: int = 1,
             "target": s.get("target"),
             "gt_mask_rle": s.get("gt_mask_rle"),
             "is_crowd": s.get("is_crowd"),
+            # FULL GT list (untruncated): the GRec F1 denominator must
+            # count every target even beyond max_gt/num_queries (the
+            # reference evaluates against the full ragged list,
+            # apis/test.py:127-152); the device arrays above stay
+            # truncated for the matcher's static shapes
+            "gt_bbox_all": (
+                np.asarray(
+                    gb if isinstance(gb, list) else [gb], np.float64
+                ).reshape(-1, 4)
+                if gb is not None else None
+            ),
         })
 
     if text_buckets:

@@ -70,11 +70,18 @@ def evaluate(
                 for i in range(boxes.shape[0]):
                     if not valid[i]:
                         continue
-                    nt = int(batch["gt_valid"][i].sum())
                     g["boxes"].append(boxes[i])
                     g["scores"].append(scores[i])
-                    g["gts"].append(batch["gt_boxes"][i, :nt])
-                    g["targets"].append(batch["meta"][i]["target"])
+                    # full untruncated GT from meta: images with more
+                    # targets than num_queries keep the true F1
+                    # denominator (reference apis/test.py:127-152)
+                    m = batch["meta"][i]
+                    if m.get("gt_bbox_all") is not None:
+                        g["gts"].append(np.asarray(m["gt_bbox_all"]))
+                    else:
+                        nt = int(batch["gt_valid"][i].sum())
+                        g["gts"].append(batch["gt_boxes"][i, :nt])
+                    g["targets"].append(m["target"])
 
         if log_fn and ((bi + 1) % log_interval == 0 or bi + 1 == batches):
             if not is_grec:

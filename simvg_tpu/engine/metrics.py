@@ -97,9 +97,17 @@ def grec_f1_nacc(
 
     for boxes, scores, gts, target in zip(pred_boxes, pred_scores,
                                           gt_boxes, targets):
-        order = np.argsort(-np.asarray(scores, np.float64), kind="stable")
-        boxes = np.asarray(boxes, np.float64)[order]
-        scores = np.asarray(scores, np.float64)[order]
+        # exact reference tie-break (apis/test.py:105): python sorted()
+        # over (score, box-as-list) tuples, descending — equal scores
+        # order by the box coordinates lexicographically
+        pairs = sorted(
+            zip(np.asarray(scores, np.float64).tolist(),
+                np.asarray(boxes, np.float64).tolist()),
+            reverse=True,
+        )
+        scores = np.asarray([p[0] for p in pairs], np.float64)
+        boxes = np.asarray([p[1] for p in pairs],
+                           np.float64).reshape(-1, 4)
         keep = scores >= thresh_score
         filtered = boxes[keep]
 

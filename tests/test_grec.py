@@ -143,3 +143,71 @@ def test_merge_branch_and_shared_head():
     assert "class_embed_decoder" in keys
     assert "class_embed_token" not in keys
     assert "bbox_embed_token" not in keys
+
+
+def test_grec_full_gt_denominator_beyond_num_queries():
+    """12 GT with 10 queries: all 10 predictions match, but F1 =
+    2*10/(2*10+0+2) = 20/22 < 1.0, so the image is NOT correct.
+    Truncating GT to num_queries (round-1 bug) inflated this to F1=1."""
+    from simvg_tpu.engine.metrics import grec_f1_nacc
+
+    gts = np.asarray(
+        [[10 * i, 0, 10 * i + 8, 8] for i in range(12)], np.float64)
+    preds = gts[:10].copy()  # 10 perfect predictions
+    scores = np.full(10, 0.9)
+    target = [{"category_id": 1}] * 12
+    m = grec_f1_nacc([preds], [scores], [gts], [target])
+    assert m["F1_score"] == 0.0, m
+    # and with exactly 10 GT the same predictions ARE correct
+    m2 = grec_f1_nacc([preds], [scores], [gts[:10]], [target[:10]])
+    assert m2["F1_score"] == 100.0, m2
+
+
+def test_grec_equal_score_tiebreak_matches_reference_formula():
+    """Reference sorts (score, box) tuples lexicographically descending
+    (apis/test.py:105). With equal scores the box with larger
+    coordinates sorts FIRST; hand-compute the reference outcome on a
+    degenerate equal-GIoU case and assert parity."""
+    from simvg_tpu.engine.metrics import grec_f1_nacc
+
+    # two equal-score predictions; only one GT. Greedy matching zeroes
+    # the matched row/col; outcome (TP=1, FP=1, FN=0 -> F1=2/3 < 1)
+    boxes = np.asarray([[0, 0, 10, 10], [20, 20, 30, 30]], np.float64)
+    scores = np.asarray([0.8, 0.8])
+    gts = np.asarray([[0, 0, 10, 10]], np.float64)
+    target = [{"category_id": 1}]
+    m = grec_f1_nacc([boxes], [scores], [gts], [target])
+    # hand: sorted desc -> [[20,20,30,30], [0,0,10,10]]; both >= 0.7
+    # kept; best giou pair is ([0,0,10,10], gt)=1.0 -> TP=1; FP=1;
+    # F1=2/3 -> not correct
+    assert m["F1_score"] == 0.0 and m["TN"] == 1.0, m
+
+    # threshold edge with a tie exactly at 0.7: both kept (>=)
+    scores2 = np.asarray([0.7, 0.7])
+    m2 = grec_f1_nacc([boxes], [scores2], [gts], [target])
+    assert m2["F1_score"] == 0.0, m2
+
+    # single prediction, no-target image: FN bookkeeping
+    m3 = grec_f1_nacc([boxes[:1]], [np.asarray([0.9])],
+                      [np.zeros((1, 4))], [[{"category_id": -1}]])
+    assert m3["FN"] == 1.0 and m3["N_acc"] == 0.0
+
+
+def test_collate_meta_carries_full_gt_list():
+    from simvg_tpu.data.loader import collate
+
+    boxes = [np.asarray([float(i), 0.0, float(i) + 5, 5.0])
+             for i in range(12)]
+    s = {
+        "img": np.zeros((16, 16, 3), np.float32),
+        "img_shape": (16, 16, 3),
+        "ref_expr_inds": np.zeros(4, np.int64),
+        "text_attention_mask": np.ones(4, np.int64),
+        "gt_bbox": boxes,
+        "target": [{"category_id": 1}] * 12,
+    }
+    out = collate([s], canvas=16, max_gt=10)
+    assert out["gt_boxes"].shape == (1, 10, 4)  # device arrays truncated
+    full = out["meta"][0]["gt_bbox_all"]
+    assert full.shape == (12, 4)  # meta keeps everything
+    np.testing.assert_allclose(full[11], boxes[11])

@@ -405,12 +405,15 @@ def main():
                         scores = np.asarray(p["scores"])
                         gb, sc_l, gts, tgts = [], [], [], []
                         for i, m in enumerate(batch["meta"]):
-                            nt = int(np.asarray(
-                                batch["gt_valid"][i]).sum())
                             gb.append(boxes[i])
                             sc_l.append(scores[i])
-                            gts.append(np.asarray(
-                                batch["gt_boxes"][i][:nt]))
+                            if m.get("gt_bbox_all") is not None:
+                                gts.append(np.asarray(m["gt_bbox_all"]))
+                            else:
+                                nt = int(np.asarray(
+                                    batch["gt_valid"][i]).sum())
+                                gts.append(np.asarray(
+                                    batch["gt_boxes"][i][:nt]))
                             tgts.append(m["target"])
                         gm = grec_f1_nacc(gb, sc_l, gts, tgts)
                         s[f"{bname}_F1"] = gm["F1_score"]
