@@ -82,6 +82,7 @@ class BaseDataset:
         with_bbox: bool = True,
         with_mask: bool = False,
         use_token_type: str = "beit3",
+        spm_path: str = "pretrain_weights/beit3.spm",
         seed: int = 6666,
     ):
         assert which_set in VALID_SETS, which_set
@@ -107,7 +108,8 @@ class BaseDataset:
                     "default", token2idx=build_word_vocab(self.anns_all)
                 )
             else:
-                tokenizer = build_tokenizer(use_token_type)
+                tokenizer = build_tokenizer(use_token_type,
+                                            spm_path=spm_path)
         self.tokenizer = tokenizer
         self.num_token = tokenizer.vocab_size
 

@@ -89,6 +89,41 @@ class XLMRobertaTokenizerWrapper(_TokenizerBase):
         return self.tok.vocab_size
 
 
+class XLMRSentencePieceTokenizer(_TokenizerBase):
+    """beit3 mode WITHOUT the sentencepiece dependency: pure-Python
+    unigram inference (simvg_tpu.data.spm) over a real ``.spm`` model,
+    plus the HF XLM-R id convention the reference relies on
+    (loading.py:157-182): <s>=0, <pad>=1, </s>=2, <unk>=3, sentencepiece
+    ids shifted by the fairseq offset (+1)."""
+
+    FAIRSEQ_OFFSET = 1
+
+    def __init__(self, spm_path: str):
+        from .spm import SentencePieceUnigram
+
+        self.sp = SentencePieceUnigram.from_file(spm_path)
+        self.bos_id, self.pad_id, self.eos_id, self.unk_id = 0, 1, 2, 3
+        self._special = {"<s>": self.bos_id, "<pad>": self.pad_id,
+                         "</s>": self.eos_id, "<unk>": self.unk_id}
+
+    def tokenize_to_ids(self, text: str):
+        out = []
+        for sid in self.sp.encode_ids(text):
+            piece = self.sp.pieces[sid][0]
+            if piece in self._special:
+                out.append(self._special[piece])
+            elif sid == self.sp.unk_id:
+                out.append(self.unk_id)
+            else:
+                out.append(sid + self.FAIRSEQ_OFFSET)
+        return out
+
+    @property
+    def vocab_size(self):
+        # HF XLMRobertaTokenizer: sp size + fairseq offset + <mask>
+        return self.sp.vocab_size() + self.FAIRSEQ_OFFSET + 1
+
+
 class HFTokenizerWrapper(_TokenizerBase):
     """"bert" mode (loading.py:126-155): any HF tokenizer by name/path."""
 
@@ -207,10 +242,12 @@ def build_tokenizer(kind: str = "beit3", **kw) -> _TokenizerBase:
     if kind == "beit3":
         spm = kw.get("spm_path")
         if spm:
-            try:
-                return XLMRobertaTokenizerWrapper(spm)
-            except Exception:
-                pass
+            import os.path as osp
+
+            if osp.exists(spm):
+                # native pure-python unigram inference (no sentencepiece
+                # dependency); loads the released beit3.spm directly
+                return XLMRSentencePieceTokenizer(spm)
         # asset-free fallback keeps the full pipeline runnable
         return SimpleTokenizer(vocab_size=kw.get("vocab_size", 64010))
     if kind == "bert":
