@@ -115,8 +115,19 @@ def convert_beit3_encoder(sd: Dict[str, np.ndarray], params: Dict,
     vis_pos = interpolate_pos_embed(vis_pos, n_pos_target)
     _set(params, f"{out_prefix}/vision_pos_embed/embedding", vis_pos,
          report)
+    text_pos = grab("encoder.embed_positions.B.weight")
+    n_text_target = tgt["text_pos_embed"]["embedding"].shape[0]
+    if text_pos.shape[0] != n_text_target:
+        # learned text positions: copy the overlapping prefix rows
+        # (the reference's non-strict load would DROP the whole table on
+        # mismatch, beit3.py load_state_dict; prefix copy keeps every
+        # position the checkpoint actually trained)
+        merged = np.array(tgt["text_pos_embed"]["embedding"])
+        n = min(text_pos.shape[0], n_text_target)
+        merged[:n] = text_pos[:n]
+        text_pos = merged
     _set(params, f"{out_prefix}/text_pos_embed/embedding",
-         grab("encoder.embed_positions.B.weight"), report)
+         text_pos, report)
     _set(params, f"{out_prefix}/text_embed/embedding",
          grab("text_embed.weight"), report)
 
@@ -372,6 +383,12 @@ def main():
 
     import jax
 
+    if args.platform:
+        # this environment's sitecustomize overrides jax_platforms via
+        # config, so the env var alone is ignored — re-assert it or the
+        # conversion compiles on the real TPU through the slow tunnel
+        jax.config.update("jax_platforms", args.platform)
+
     from simvg_tpu.models.builder import build_model
     from simvg_tpu.utils.checkpoint import save_checkpoint
 
@@ -404,7 +421,8 @@ def main():
     os.makedirs(osp.dirname(osp.abspath(args.output)) or ".",
                 exist_ok=True)
     save_checkpoint(osp.dirname(osp.abspath(args.output)),
-                    osp.basename(args.output), params=params)
+                    osp.basename(args.output), params=params,
+                    block=True)
     print(f"wrote {args.output}")
 
 
