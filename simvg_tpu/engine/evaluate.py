@@ -16,6 +16,30 @@ from .metrics import detection_accuracy, grec_f1_nacc
 from .train import make_eval_step
 
 
+def _local_rows(arr) -> np.ndarray:
+    """Host-local rows of a (possibly multi-host global) prediction.
+
+    Single process: plain np.asarray. Multi-host: the batch axis is
+    sharded over processes, so only this host's shards are addressable —
+    concatenate them in global row order, which matches the local batch
+    this process contributed via make_array_from_process_local_data."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def _allgather_sum(vec: np.ndarray) -> np.ndarray:
+    """Sum a small counter vector across processes (the reference's
+    reduce_mean/all_reduce over ranks, simvg/utils/distributed.py:21-27)."""
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(np.asarray(vec))
+    ).sum(axis=0)
+
+
 def evaluate(
     model,
     params,
@@ -55,7 +79,7 @@ def evaluate(
             p = preds[branch]
             if not is_grec:
                 m = detection_accuracy(
-                    np.asarray(p["best_box"]),
+                    _local_rows(p["best_box"]),
                     batch["gt_boxes"][:, 0, :],
                     valid,
                 )
@@ -65,8 +89,8 @@ def evaluate(
                 a["n"] += m["n"]
             else:
                 g = acc[branch]["grec"]
-                boxes = np.asarray(p["boxes"])
-                scores = np.asarray(p["scores"])
+                boxes = _local_rows(p["boxes"])
+                scores = _local_rows(p["scores"])
                 for i in range(boxes.shape[0]):
                     if not valid[i]:
                         continue
@@ -96,12 +120,18 @@ def evaluate(
                 msg = f"[{bi + 1}/{batches}] grec eval accumulating"
             log_fn(f"val - [{bi + 1}/{batches}] {msg}")
 
+    multi = jax.process_count() > 1
     out: Dict[str, float] = {}
     if not is_grec:
         for b in ("decoder", "token"):
-            n = max(acc[b]["n"], 1)
-            out[f"{b}_det_acc"] = acc[b]["iou_hits"] / n * 100.0
-            out[f"{b}_miou"] = acc[b]["iou_sum"] / n * 100.0
+            hits, iou_sum, n = (acc[b]["iou_hits"], acc[b]["iou_sum"],
+                                acc[b]["n"])
+            if multi:
+                hits, iou_sum, n = _allgather_sum(
+                    np.asarray([hits, iou_sum, n], np.float64))
+            n = max(n, 1)
+            out[f"{b}_det_acc"] = hits / n * 100.0
+            out[f"{b}_miou"] = iou_sum / n * 100.0
         out["det_acc"] = (out["decoder_det_acc"]
                           + out["token_det_acc"]) / 2.0
         out["miou"] = 0.0
@@ -111,6 +141,14 @@ def evaluate(
             g = acc[b]["grec"]
             m = grec_f1_nacc(g["boxes"], g["scores"], g["gts"],
                              g["targets"])
+            if multi:
+                # aggregate the raw counters across hosts, then recompute
+                correct = m["F1_score"] / 100.0 * m["n"]
+                agg = _allgather_sum(np.asarray(
+                    [correct, m["n"], m["TP"], m["FN"]], np.float64))
+                m["F1_score"] = agg[0] / max(agg[1], 1) * 100.0
+                m["N_acc"] = (agg[2] / (agg[2] + agg[3]) * 100.0
+                              if agg[2] != 0 else 0.0)
             out[f"{b}_F1_score"] = m["F1_score"]
             out[f"{b}_N_acc"] = m["N_acc"]
             f1s.append(m["F1_score"])

@@ -20,10 +20,14 @@ def main():
                    choices=["refcoco", "grefcoco"])
     p.add_argument("--n-train", type=int, default=16)
     p.add_argument("--n-val", type=int, default=8)
+    p.add_argument("--img-hw", type=int, nargs=2, default=(120, 160),
+                   help="original image size (non-square by default so "
+                        "eval exercises non-unit scale factors)")
     args = p.parse_args()
     if args.style == "refcoco":
         imgdir, annfile = make_refcoco_style(args.root, args.n_train,
-                                             args.n_val)
+                                             args.n_val,
+                                             img_hw=tuple(args.img_hw))
     else:
         imgdir, annfile = make_grefcoco_style(args.root, args.n_train)
     print(f"images: {imgdir}\nannotations: {annfile}")
