@@ -1,7 +1,7 @@
-# Finetune on refcoco from the Mixed pretrain: decoder branch only,
+# Finetune on refcoco+ from the Mixed pretrain: decoder branch only,
 # short schedule (reference configs/mix/ViT-base/finetune_mix/
-# noema#finetune#refcoco.py: lr 0.0001, decay [8], 10 epochs, no EMA)
-_base_ = ["../../../single/ViT-base/refcoco/refcoco_onestage.py"]
+# noema#finetune#refcoco+.py: lr 0.0001, decay [8], 10 epochs, no EMA)
+_base_ = ["../../../single/ViT-base/refcocoplus/refcocoplus_onestage.py"]
 model = dict(head=dict(branch_loss_weight=dict(_delete_=True,
                                                decoder=1.0)))
 ema = False

@@ -1,9 +1,18 @@
-# ViT-large/32 variant (reference configs/single/ViT-large)
+# ViT-large/32 @640 (reference configs/single/ViT-large/refcocog/
+# refcocog_onestage.py deltas vs ViT-base: bs4, large encoder,
+# in_channels 1024, distill weights token 1.0 / distill 0.4)
 _base_ = ["../../ViT-base/refcocog_umd/refcocog_umd_onestage.py"]
+data = dict(samples_per_gpu=4, workers_per_gpu=4)
 model = dict(
     vis_enc=dict(
         vit_type="large",
         pretrain="pretrain_weights/beit3_large_patch16_224.zip",
     ),
-    head=dict(in_channels=1024),
+    head=dict(
+        in_channels=1024,
+        branch_loss_weight={
+            "decoder": 1.0,
+            "balanced_distill": {"token": 1.0, "distill": 0.4},
+        },
+    ),
 )

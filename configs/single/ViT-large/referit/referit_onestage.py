@@ -1,7 +1,7 @@
-# ViT-large/32 @640 (reference configs/single/ViT-large/refcocoplus/
-# refcocoplus_onestage.py deltas vs ViT-base: bs4, large encoder,
+# ViT-large/32 @640 (reference configs/single/ViT-large/referit/
+# referit_onestage.py deltas vs ViT-base: bs4, large encoder,
 # in_channels 1024, distill weights token 1.0 / distill 0.4)
-_base_ = ["../../ViT-base/refcocoplus/refcocoplus_onestage.py"]
+_base_ = ["../../ViT-base/referit/referit_onestage.py"]
 data = dict(samples_per_gpu=4, workers_per_gpu=4)
 model = dict(
     vis_enc=dict(

@@ -41,3 +41,34 @@ def test_merge_from_dict_dotted():
     cfg.merge_from_dict({"model.head.num_queries": 5, "lr": 0.1})
     assert cfg.model.head.num_queries == 5
     assert cfg.lr == 0.1
+
+
+def test_all_shipped_configs_load_and_carry_reference_deltas():
+    """Every config in the tree must parse; spot-check the regime deltas
+    that distinguish the families (reference configs/ inventory,
+    SURVEY.md section 2.7)."""
+    import glob
+    import os.path as osp
+
+    root = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                    "configs")
+    leaves = [f for f in glob.glob(root + "/**/*.py", recursive=True)
+              if "/_base_/" not in f]
+    assert len(leaves) >= 55, len(leaves)
+    for f in leaves:
+        cfg = Config.fromfile(f)
+        assert "model" in cfg, f
+
+    large_t1 = Config.fromfile(
+        root + "/single/ViT-large/referit/referit_twostage_1.py")
+    assert large_t1.model["head"]["branch_loss_weight"] == {
+        "decoder": 1.0}
+    assert large_t1.data["samples_per_gpu"] == 4
+    large_os = Config.fromfile(
+        root + "/single/ViT-large/flickr/flickr_onestage.py")
+    assert large_os.model["head"]["branch_loss_weight"][
+        "balanced_distill"] == {"token": 1.0, "distill": 0.4}
+    ft = Config.fromfile(root + "/mix/ViT-base/finetune_mix/refcoco.py")
+    assert ft.lr == 0.0001 and ft.scheduler_config["max_epoch"] == 10
+    ca = Config.fromfile(root + "/mix/ViT-base/pretrain-cocoall.py")
+    assert ca.img_size == 512
