@@ -81,6 +81,7 @@ def build_dataset_from_cfg(split_cfg: Dict[str, Any], *,
         with_mask=load_cfg.get("with_mask", False),
         use_token_type=load_cfg.get("use_token_type", "beit3"),
         spm_path=load_cfg.get("spm_path", "pretrain_weights/beit3.spm"),
+        corpus_path=load_cfg.get("corpus_path"),
         seed=seed,
     )
 

@@ -83,6 +83,7 @@ class BaseDataset:
         with_mask: bool = False,
         use_token_type: str = "beit3",
         spm_path: str = "pretrain_weights/beit3.spm",
+        corpus_path: Optional[str] = None,
         seed: int = 6666,
     ):
         assert which_set in VALID_SETS, which_set
@@ -107,6 +108,9 @@ class BaseDataset:
                 tokenizer = build_tokenizer(
                     "default", token2idx=build_word_vocab(self.anns_all)
                 )
+            elif use_token_type == "copus":
+                tokenizer = build_tokenizer(
+                    "copus", corpus_path=corpus_path)
             else:
                 tokenizer = build_tokenizer(use_token_type,
                                             spm_path=spm_path)

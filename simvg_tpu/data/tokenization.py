@@ -181,17 +181,75 @@ class SimpleTokenizer(_TokenizerBase):
 
 def build_word_vocab(anns_all: dict) -> Dict[str, int]:
     """Word -> index vocabulary over every expression in the annotation
-    file, for the legacy "default" mode (datasets/utils.py:137-199):
-    PAD=0, UNK last."""
-    vocab = {"PAD": 0}
-    for split, anns in anns_all.items():
-        for ann in anns:
+    file, for the legacy "default" mode. Exact reference layout
+    (datasets/utils.py:150-175): PAD=0, UNK=1, CLS=2, then words in
+    first-seen order over split -> annotation -> expression."""
+    vocab = {"PAD": 0, "UNK": 1, "CLS": 2}
+    for split in anns_all:
+        for ann in anns_all[split]:
             for expr in ann.get("expressions", []):
                 for w in clean_string(expr).split():
                     if w not in vocab:
                         vocab[w] = len(vocab)
-    vocab["UNK"] = len(vocab)
     return vocab
+
+
+def tokenize(annsfile: str, anns_all: dict, word_emb_cfg=None):
+    """The reference's cached vocabulary builder
+    (datasets/utils.py:137-199): writes/reads ``token_to_ix.pkl``,
+    ``ix_to_token.pkl`` and ``word_emb.npz`` next to the annotation
+    file. The GloVe vectors come from spacy's en_vectors_web_lg when
+    installed; otherwise a deterministic random table is cached instead
+    (and a warning logged), keeping the cache format identical.
+
+    Returns (token2ix, ix2token, word_emb [V, 300])."""
+    import os.path as osp
+    import pickle
+
+    annsdir = osp.dirname(osp.abspath(annsfile))
+    t2i_path = osp.join(annsdir, "token_to_ix.pkl")
+    i2t_path = osp.join(annsdir, "ix_to_token.pkl")
+    emb_path = osp.join(annsdir, "word_emb.npz")
+    if (osp.exists(t2i_path) and osp.exists(i2t_path)
+            and osp.exists(emb_path)):
+        with open(t2i_path, "rb") as f:
+            token2ix = pickle.load(f)
+        with open(i2t_path, "rb") as f:
+            ix2token = pickle.load(f)
+        npz = np.load(emb_path, allow_pickle=True)
+        return token2ix, ix2token, npz["word_emb"]
+
+    token2ix = build_word_vocab(anns_all)
+    ix2token = {ix: tok for tok, ix in token2ix.items()}
+
+    loader = None
+    if word_emb_cfg and word_emb_cfg.get("type") == "GloVe":
+        try:
+            import en_vectors_web_lg  # type: ignore
+
+            nlp = en_vectors_web_lg.load()
+            loader = lambda w: np.asarray(nlp(w).vector, np.float32)
+        except ImportError:
+            import logging
+
+            logging.getLogger("simvg_tpu").warning(
+                "spacy en_vectors_web_lg unavailable; caching a "
+                "deterministic random word_emb.npz instead"
+            )
+    if loader is None:
+        rng = np.random.default_rng(0)
+        loader = lambda w: rng.normal(
+            0, 0.02, 300).astype(np.float32)
+
+    word_emb = np.stack([loader(ix2token[i])
+                         for i in range(len(ix2token))])
+
+    with open(t2i_path, "wb") as f:
+        pickle.dump(token2ix, f, protocol=pickle.HIGHEST_PROTOCOL)
+    with open(i2t_path, "wb") as f:
+        pickle.dump(ix2token, f, protocol=pickle.HIGHEST_PROTOCOL)
+    np.savez_compressed(emb_path, word_emb=word_emb)
+    return token2ix, ix2token, word_emb
 
 
 class WordTokenizer(_TokenizerBase):
@@ -216,6 +274,52 @@ class WordTokenizer(_TokenizerBase):
                 break
             ids[i] = self.token2idx.get(w, self.token2idx["UNK"])
             mask[i] = 0
+        return ids, mask
+
+
+class CorpusTokenizer(_TokenizerBase):
+    """"copus" mode (loading.py:184-209, 347-356).
+
+    The reference loads a pickled vgtr ``Corpus`` object from a
+    hardcoded user path, and the ``Corpus`` class itself is absent from
+    the repo (instantiating it raises NameError) — the mode is broken
+    legacy upstream. This is a WORKING equivalent: a word->id table
+    loaded from json/pickle (or passed directly), with the reference's
+    framing — zero-padded word ids, attention mask 1 where id > 0
+    (note: INVERTED vs the beit3 1=pad convention; legacy consumers
+    derive masks from the ids themselves, so the convention is
+    cosmetic)."""
+
+    def __init__(self, corpus=None, corpus_path: Optional[str] = None,
+                 unk_token: str = "UNK"):
+        if corpus is None:
+            if corpus_path is None:
+                raise ValueError("corpus or corpus_path required")
+            if corpus_path.endswith(".json"):
+                import json
+
+                corpus = json.load(open(corpus_path))
+            else:
+                import pickle
+
+                corpus = pickle.load(open(corpus_path, "rb"))
+        self.word2idx = dict(corpus)
+        self.unk_id = self.word2idx.get(unk_token, 1)
+        self.pad_id = 0
+        self.bos_id = self.eos_id = -1  # unused
+
+    @property
+    def vocab_size(self):
+        return max(self.word2idx.values()) + 1
+
+    def encode(self, expression: str, max_token: int):
+        expression = clean_string(expression)
+        ids = np.zeros(max_token, np.int32)
+        for i, w in enumerate(expression.split()):
+            if i >= max_token:
+                break
+            ids[i] = self.word2idx.get(w, self.unk_id)
+        mask = (ids > 0).astype(np.int32)
         return ids, mask
 
 
@@ -258,4 +362,7 @@ def build_tokenizer(kind: str = "beit3", **kw) -> _TokenizerBase:
                                vocab_size=kw.get("vocab_size", 64010))
     if kind == "default":
         return WordTokenizer(kw["token2idx"])
+    if kind == "copus":
+        return CorpusTokenizer(corpus=kw.get("corpus"),
+                               corpus_path=kw.get("corpus_path"))
     raise ValueError(f"unknown tokenizer kind {kind!r}")

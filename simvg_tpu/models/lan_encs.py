@@ -109,15 +109,44 @@ class BERTLanguageEncoder(nn.Module):
         return {"text_feat": x, "text_mask": padding_mask.astype(bool)}
 
 
+class PhraseAttention(nn.Module):
+    """rnn.PhraseAttention (simvg/models/lan_encs/rnn.py:97-118):
+    softmax attention over word positions, re-normalised after zeroing
+    padding, returning the weighted word embedding."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, context, embedded, input_labels):
+        scores = nn.Dense(1, dtype=self.dtype, param_dtype=jnp.float32,
+                          name="fc")(context)[..., 0]
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        not_pad = (input_labels != 0).astype(attn.dtype)
+        attn = attn * not_pad
+        attn = attn / jnp.maximum(attn.sum(axis=1, keepdims=True), 1e-12)
+        weighted = jnp.einsum("bt,btc->bc", attn.astype(embedded.dtype),
+                              embedded)
+        return attn, weighted
+
+
 class LSTMLanguageEncoder(nn.Module):
-    """lan_encs.LSTM equivalent (GRU cells, optionally bidirectional)."""
+    """lan_encs.LSTM equivalent.
+
+    Note the reference's class NAMED "LSTM" asserts ``lstm_cfg.type in
+    ["gru"]`` and builds ``nn.GRU`` (simvg/models/lan_encs/lstm.py:29-30)
+    — GRU IS the reference cell; this module matches it. All five output
+    modes are supported, incl. "query" (4 PhraseAttention parsers +
+    projection, lstm.py:35-38,68-71)."""
 
     vocab_size: int
     word_emb_dim: int = 300
     hidden_size: int = 512
     bidirectional: bool = True
-    output_type: str = "max"  # mean | max | default | original
+    output_type: str = "max"  # mean | max | default | original | query
     word_emb: Optional[jnp.ndarray] = None  # pretrained [V, C] (GloVe)
+    freeze_emb: bool = True  # lstm.py:24-27 (from_pretrained freeze)
+    out_dim: int = 256  # "query" projection width
+    num_query_parsers: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -132,6 +161,8 @@ class LSTMLanguageEncoder(nn.Module):
                          embedding_init=emb_init, dtype=self.dtype,
                          param_dtype=jnp.float32, name="embedding")
         y_word = embed(ref_expr_inds)
+        if self.freeze_emb:
+            y_word = jax.lax.stop_gradient(y_word)
 
         fwd = GRU(self.hidden_size, dtype=self.dtype, name="gru_fwd")(
             y_word)
@@ -150,7 +181,24 @@ class LSTMLanguageEncoder(nn.Module):
             neg = jnp.asarray(-1e30, y_word.dtype)
             y = jnp.where(valid, y_word, neg).max(axis=1)[:, None]
         elif self.output_type == "default":
-            y = y_word[:, -1:][:, None].squeeze(1)
+            # the FINAL hidden state per direction (torch nn.GRU's h),
+            # i.e. last step of the forward scan and first position of
+            # the (un-reversed) backward scan, flattened (lstm.py:66-68)
+            h_fwd = fwd[:, -1]
+            if self.bidirectional:
+                h_bwd = bwd[:, 0]
+                y = jnp.concatenate([h_fwd, h_bwd], axis=-1)[:, None]
+            else:
+                y = h_fwd[:, None]
+        elif self.output_type == "query":
+            parsed = [
+                PhraseAttention(dtype=self.dtype, name=f"parser_{i}")(
+                    y_word, y_word, ref_expr_inds)[1]
+                for i in range(self.num_query_parsers)
+            ]
+            y = jnp.stack(parsed, axis=1)
+            y = nn.Dense(self.out_dim, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="linear")(y)
         elif self.output_type == "original":
             return {"text_feat": y_word, "text_mask": y_mask}
         else:

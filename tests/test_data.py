@@ -316,3 +316,48 @@ def test_lsj_giveup_never_exceeds_canvas():
     assert out["gt_bbox"].max() <= 64
     # scale_factor reflects the fitted resize (resized / original)
     np.testing.assert_allclose(out["scale_factor"], 0.64, rtol=1e-6)
+
+
+def test_vocab_cache_roundtrip(tmp_path):
+    """tokenize() writes/reads token_to_ix.pkl / ix_to_token.pkl /
+    word_emb.npz next to the annotation file, with the reference's
+    PAD=0/UNK=1/CLS=2 layout (datasets/utils.py:137-199)."""
+    import json
+
+    from simvg_tpu.data.tokenization import tokenize
+
+    anns = {"train": [{"expressions": ["the red dog", "a dog"]}],
+            "val": [{"expressions": ["red-ish thing!"]}]}
+    annsfile = str(tmp_path / "instances.json")
+    json.dump(anns, open(annsfile, "w"))
+
+    t2i, i2t, emb = tokenize(annsfile, anns)
+    assert (t2i["PAD"], t2i["UNK"], t2i["CLS"]) == (0, 1, 2)
+    assert t2i["the"] == 3 and t2i["dog"] == 5  # first-seen order
+    assert "red" in t2i and "ish" in t2i  # dash -> space, punct gone
+    assert emb.shape == (len(t2i), 300)
+    assert (tmp_path / "word_emb.npz").exists()
+
+    # second call reads the cache (mutate the anns: result unchanged)
+    anns2 = {"train": [{"expressions": ["completely different"]}]}
+    t2i_b, _, emb_b = tokenize(annsfile, anns2)
+    assert t2i_b == t2i
+    np.testing.assert_allclose(emb_b, emb)
+
+
+def test_corpus_tokenizer_mode(tmp_path):
+    """'copus' mode framing: zero-padded word ids, mask 1 where id > 0
+    (the reference's mode is broken legacy — Corpus class absent — ours
+    is a working equivalent, loading.py:184-209)."""
+    import json
+
+    from simvg_tpu.data.tokenization import build_tokenizer
+
+    corpus = {"PAD": 0, "UNK": 1, "the": 2, "dog": 3}
+    path = str(tmp_path / "corpus.json")
+    json.dump(corpus, open(path, "w"))
+    tok = build_tokenizer("copus", corpus_path=path)
+    ids, mask = tok.encode("The dog barks", max_token=5)
+    np.testing.assert_array_equal(ids, [2, 3, 1, 0, 0])
+    np.testing.assert_array_equal(mask, [1, 1, 1, 0, 0])
+    assert tok.vocab_size == 4

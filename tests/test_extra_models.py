@@ -129,3 +129,34 @@ def test_resnet_backbone():
     out = enc.apply(params, x)
     assert out.shape == (2, 2, 2, 256)  # stride 32
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lstm_encoder_query_and_default_modes():
+    import jax
+    import jax.numpy as jnp
+
+    from simvg_tpu.models.lan_encs import LSTMLanguageEncoder
+
+    ids = jnp.asarray([[3, 4, 5, 0, 0], [6, 7, 0, 0, 0]], jnp.int32)
+
+    q = LSTMLanguageEncoder(vocab_size=10, word_emb_dim=8,
+                            hidden_size=16, output_type="query",
+                            out_dim=12)
+    params = q.init(jax.random.PRNGKey(0), ids)
+    y = q.apply(params, ids)
+    assert y.shape == (2, 4, 12)  # 4 parsers -> out_dim
+    assert np.isfinite(np.asarray(y)).all()
+
+    d = LSTMLanguageEncoder(vocab_size=10, word_emb_dim=8,
+                            hidden_size=16, output_type="default")
+    pd = d.init(jax.random.PRNGKey(0), ids)
+    yd = d.apply(pd, ids)
+    assert yd.shape == (2, 1, 32)  # final fwd+bwd hidden states
+
+    # freeze_emb: embedding gradient must be zero
+    def loss(p):
+        return (d.apply(p, ids) ** 2).sum()
+
+    g = jax.grad(loss)(pd)
+    emb_g = g["params"]["embedding"]["embedding"]
+    assert float(jnp.abs(emb_g).sum()) == 0.0
