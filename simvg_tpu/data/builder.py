@@ -51,6 +51,8 @@ def build_pipeline(pipeline_cfg, normalize_on_device: bool = False
                 tfs.append(T.Normalize(**op))
         elif kind == "Pad":
             tfs.append(T.Pad(**op))
+        elif kind == "SampleMaskVertices":
+            tfs.append(T.SampleMaskVertices(**op))
         elif kind in _NOOP_TYPES:
             continue
         else:

@@ -298,6 +298,82 @@ class LargeScaleJitter:
         )
 
 
+class SampleMaskVertices:
+    """SeqTR-legacy contour vertex sampler (pipelines/mask.py:7-101):
+    mass center of the largest mask contour plus num_ray sampled contour
+    points, output [2, num_ray] padded with -1. With center_sampling and
+    the center inside the contour, points are the farthest contour hits
+    at evenly spaced ray angles (with +-5 degree fallback); otherwise an
+    even stride over the contour."""
+
+    def __init__(self, center_sampling: bool = False, num_ray: int = 18):
+        assert num_ray > 0
+        self.center_sampling = center_sampling
+        self.num_ray = num_ray
+
+    def __call__(self, s: dict) -> dict:
+        assert s.get("with_mask"), "SampleMaskVertices needs with_mask"
+        mask = np.ascontiguousarray(s["gt_mask"], np.uint8)
+        center, contour, keep = self._mass_center(mask)
+        s["gt_mask_vertices"] = self._sample(
+            center, contour, keep, s.get("pad_shape", mask.shape)[:2])
+        s["mass_center"] = center
+        return s
+
+    def _mass_center(self, mask):
+        contours, _ = cv2.findContours(mask, cv2.RETR_TREE,
+                                       cv2.CHAIN_APPROX_NONE)
+        if not contours:
+            return np.asarray([-1.0, -1.0]), np.zeros((0, 2)), False
+        contour = max(contours, key=cv2.contourArea)[:, 0, :]
+        m = cv2.moments(contour)
+        if m["m00"] > 0.0:
+            return (np.asarray([m["m10"] / m["m00"],
+                                m["m01"] / m["m00"]]), contour, True)
+        return np.asarray([-1.0, -1.0]), contour, False
+
+    def _sample(self, center, contour, keep, max_shape):
+        verts = np.full((2, self.num_ray), -1, np.float32)
+        if not keep:
+            return verts
+        n = contour.shape[0]
+        if n <= self.num_ray:
+            verts[:, :n] = contour.T
+            return verts
+        inside = cv2.pointPolygonTest(
+            contour, tuple(float(c) for c in center), False) > 0
+        if self.center_sampling and inside:
+            dx = contour[:, 0] - center[0]
+            dy = contour[:, 1] - center[1]
+            ang = np.arctan2(dy, dx) * 180 / np.pi
+            ang[ang < 0] += 360
+            ang = ang.astype(np.uint32)
+            dist = np.sqrt(dx ** 2 + dy ** 2)
+            hit_ang, hit_dist = [], []
+            for a in range(0, 360, 360 // self.num_ray):
+                for inc in (0, 1, -1, 2, -2, 3, -3, 4, -4, 5, -5):
+                    aa = a + inc
+                    if (ang == aa).any():
+                        hit_ang.append(aa)
+                        hit_dist.append(dist[ang == aa].max())
+                        break
+            rad = np.asarray(hit_ang) / 180 * np.pi
+            vx = center[0] + np.asarray(hit_dist) * np.cos(rad)
+            vy = center[1] + np.asarray(hit_dist) * np.sin(rad)
+        else:
+            import math
+
+            stride = math.ceil(n / self.num_ray)
+            vx = contour[::stride, 0]
+            vy = contour[::stride, 1]
+        if max_shape is not None:
+            vx = np.clip(vx, 0, max_shape[1] - 1)
+            vy = np.clip(vy, 0, max_shape[0] - 1)
+        pts = np.vstack((vx, vy)).astype(np.float32)
+        verts[:, :pts.shape[1]] = pts
+        return verts
+
+
 class Compose:
     def __init__(self, transforms: Sequence):
         self.transforms = list(transforms)

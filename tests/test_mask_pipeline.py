@@ -121,3 +121,37 @@ def test_load_word_embeddings(tmp_path):
     np.savez(p, emb=np.ones((4, 8), np.float32))
     emb2 = load_word_embeddings(p, vocab)
     assert emb2.shape == (4, 8) and (emb2 == 1).all()
+
+
+def test_sample_mask_vertices_modes():
+    import cv2
+
+    from simvg_tpu.data.transforms import SampleMaskVertices
+
+    mask = np.zeros((64, 64), np.uint8)
+    cv2.circle(mask, (32, 32), 20, 1, -1)
+
+    s = dict(with_mask=True, gt_mask=mask, pad_shape=(64, 64, 3))
+    out = SampleMaskVertices(num_ray=18)(dict(s))
+    v = out["gt_mask_vertices"]
+    assert v.shape == (2, 18)
+    got = v[:, v[0] >= 0]
+    # strided contour points: all on the circle boundary (radius ~20)
+    r = np.sqrt((got[0] - 32) ** 2 + (got[1] - 32) ** 2)
+    assert (np.abs(r - 20) < 2.5).all(), r
+    np.testing.assert_allclose(out["mass_center"], [32, 32], atol=1.0)
+
+    out_c = SampleMaskVertices(num_ray=18, center_sampling=True)(dict(s))
+    vc = out_c["gt_mask_vertices"]
+    gc = vc[:, vc[0] >= 0]
+    rc = np.sqrt((gc[0] - 32) ** 2 + (gc[1] - 32) ** 2)
+    assert (np.abs(rc - 20) < 2.5).all(), rc
+    # ray sampling covers all 18 evenly spaced angles on a circle
+    assert gc.shape[1] == 18
+
+    # degenerate: empty mask -> KEEP=False -> all -1 center
+    empty = dict(with_mask=True, gt_mask=np.zeros((8, 8), np.uint8),
+                 pad_shape=(8, 8, 3))
+    out_e = SampleMaskVertices(num_ray=6)(empty)
+    assert (out_e["gt_mask_vertices"] == -1).all()
+    np.testing.assert_allclose(out_e["mass_center"], [-1, -1])
