@@ -53,6 +53,18 @@ def main():
     cfg.merge_from_dict(opts)
 
     logger = get_root_logger()
+
+    # device mesh: shard eval batches over all local chips (matches
+    # tools/train.py; reference evaluates under DDP the same way)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from simvg_tpu.parallel import create_mesh, shard_params
+
+    mesh = create_mesh(model_parallel=cfg.get("model_parallel", 1))
+    dp = mesh.shape["data"]
+    batch_sharding = NamedSharding(mesh, P("data"))
+    logger.info(f"mesh: {dict(mesh.shape)}")
+
     seed = cfg.get("seed", 6666)
     img_size = cfg.get("img_size", 640)
     is_grec = cfg.get("dataset") == "GRefCOCO"
@@ -78,7 +90,7 @@ def main():
         tokenizer = ds.tokenizer
         loaders[s] = build_loader_from_cfg(ds, cfg, train=False,
                                            canvas=img_size, max_gt=max_gt,
-                                           seed=seed)
+                                           seed=seed, batch_scale=dp)
 
     first = next(iter(loaders.values()))
     sample = next(iter(first))
@@ -89,7 +101,11 @@ def main():
     )
     ck = load_checkpoint(args.checkpoint, params_template=params,
                          with_ema=args.with_ema)
-    params = ck["params"]
+    params = shard_params(ck["params"], mesh)
+
+    def eval_put(device_batch):
+        return {k: jax.device_put(v, batch_sharding)
+                for k, v in device_batch.items()}
 
     import jax as _jax
 
@@ -102,12 +118,14 @@ def main():
         m = evaluate(model, params, loader, is_grec=is_grec,
                      eval_step=eval_step,
                      log_fn=logger.info,
-                     log_interval=cfg.get("log_interval", 50))
+                     log_interval=cfg.get("log_interval", 50),
+                     put_fn=eval_put)
         logger.info(f"[{s}] " + ", ".join(
             f"{k}: {v:.2f}" for k, v in m.items()))
         if args.with_ema and ck.get("ema_params") is not None:
-            m = evaluate(model, ck["ema_params"], loader,
-                         is_grec=is_grec, eval_step=eval_step)
+            m = evaluate(model, shard_params(ck["ema_params"], mesh),
+                         loader, is_grec=is_grec, eval_step=eval_step,
+                         put_fn=eval_put)
             logger.info(f"[{s}][EMA] " + ", ".join(
                 f"{k}: {v:.2f}" for k, v in m.items()))
 
