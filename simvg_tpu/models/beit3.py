@@ -7,9 +7,12 @@ beit3.py:29-185) as a functional flax module:
 - The reference's stateful ``set_split_position`` mutation
   (beit3_base.py:127-130) becomes a *static* split index: the joint
   sequence is always ``[CLS] + image patches + text tokens``, so every
-  "multiway" module is two parameter sets (``A`` = vision, ``B`` = text)
-  applied to static slices of the sequence — XLA sees two dense matmuls
-  with static shapes, no gather/scatter.
+  "multiway" module is two parameter sets (``A`` = vision, ``B`` = text).
+  The two segments are carried as SEPARATE arrays through the whole
+  layer stack and only concatenated where the math requires the joint
+  sequence (the attention q/k/v); this removes ~6 concatenates and ~18
+  slices of the [B, S, D] activation per layer vs the naive
+  concat-slice-per-module dataflow (measured ~6% of the forward pass).
 - Attention runs over the concatenated sequence with a key-padding mask
   for padded text positions; softmax is computed in float32 (parity with
   torchscale's fp32 softmax), everything else in a configurable compute
@@ -35,6 +38,7 @@ import numpy as np
 import flax.linen as nn
 
 from simvg_tpu.ops.attention import multihead_attention
+from simvg_tpu.ops.gelu import fast_gelu
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +58,9 @@ class BEiT3Config:
     layernorm_eps: float = 1e-5
     dtype: Any = jnp.float32  # compute dtype; params are always fp32
     attn_impl: str = "xla"  # "xla" | "pallas" (fused kernel)
+    gelu_impl: str = "auto"  # "exact" (XLA erf; bit-parity with torch in
+    # fp32) | "fast" (tanh-form erf, max abs err 1.8e-6 — see
+    # ops/gelu.py) | "auto": exact when dtype is fp32, fast otherwise.
     remat: bool = False  # rematerialise encoder layers (activation
     # checkpointing; trades FLOPs for HBM like the reference's
     # checkpoint_activations flag, beit3_base.py:311-312)
@@ -102,27 +109,29 @@ def _ln(cfg: BEiT3Config, name: str) -> nn.LayerNorm:
                         param_dtype=jnp.float32, name=name)
 
 
-def _multiway(module_a, module_b, x: jnp.ndarray, split: int) -> jnp.ndarray:
-    """Apply A to the vision slice, B to the text slice, concat.
-
-    Functional replacement for torchscale MultiwayWrapper +
-    ``set_split_position`` (beit3_base.py:127-130): `split` is static,
-    so both calls are static-shaped.
-    """
-    return jnp.concatenate([module_a(x[:, :split]), module_b(x[:, split:])],
-                           axis=1)
+def _gelu_fn(cfg: BEiT3Config):
+    """Exact-GELU (erf form) activation; see BEiT3Config.gelu_impl."""
+    exact = cfg.gelu_impl == "exact" or (
+        cfg.gelu_impl == "auto" and cfg.dtype == jnp.float32
+    )
+    if exact:
+        return lambda h: jax.nn.gelu(
+            h.astype(jnp.float32), approximate=False
+        ).astype(cfg.dtype)
+    return lambda h: fast_gelu(h).astype(cfg.dtype)
 
 
 class MultiwayFFN(nn.Module):
     """FeedForwardNetwork with subln (torchscale feedforward_network.py):
     fc1 -> gelu(exact) -> ffn_layernorm -> fc2, one parameter set per
-    modality."""
+    modality.  Takes/returns the (vision, text) segment pair."""
 
     cfg: BEiT3Config
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, split: int) -> jnp.ndarray:
+    def __call__(self, xs):
         cfg = self.cfg
+        gelu = _gelu_fn(cfg)
 
         def one_way(tag):
             fc1 = _dense(cfg, cfg.ffn_dim, f"fc1_{tag}")
@@ -130,42 +139,43 @@ class MultiwayFFN(nn.Module):
             ffn_ln = _ln(cfg, f"ffn_layernorm_{tag}")
 
             def f(h):
-                h = fc1(h)
-                h = jax.nn.gelu(h.astype(jnp.float32),
-                                approximate=False).astype(cfg.dtype)
-                h = ffn_ln(h).astype(cfg.dtype)
+                h = ffn_ln(gelu(fc1(h))).astype(cfg.dtype)
                 return fc2(h)
 
             return f
 
-        return _multiway(one_way("A"), one_way("B"), x, split)
+        return one_way("A")(xs[0]), one_way("B")(xs[1])
 
 
 class MultiwayAttention(nn.Module):
     """torchscale MultiheadAttention with multiway q/k/v/out projections
     and subln inner LayerNorm (multihead_attention.py in torchscale;
-    instantiated at beit3_base.py:112-121)."""
+    instantiated at beit3_base.py:112-121).
+
+    Takes/returns the (vision, text) segment pair; the joint sequence
+    exists only for the attention core itself (q/k/v concatenated once,
+    output split once)."""
 
     cfg: BEiT3Config
 
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,
-        split: int,
+        xs,
         key_padding_mask: Optional[jnp.ndarray],
         deterministic: bool,
-    ) -> jnp.ndarray:
+    ):
         cfg = self.cfg
+        split = xs[0].shape[1]
 
         def proj(tag):
             a = _dense(cfg, cfg.embed_dim, f"{tag}_proj_A")
             b = _dense(cfg, cfg.embed_dim, f"{tag}_proj_B")
-            return lambda h: _multiway(a, b, h, split)
+            return lambda hs: jnp.concatenate([a(hs[0]), b(hs[1])], axis=1)
 
-        q = proj("q")(x)
-        k = proj("k")(x)
-        v = proj("v")(x)
+        q = proj("q")(xs)
+        k = proj("k")(xs)
+        v = proj("v")(xs)
 
         out = multihead_attention(
             q, k, v,
@@ -182,42 +192,48 @@ class MultiwayAttention(nn.Module):
             impl=cfg.attn_impl
             if deterministic or cfg.attention_dropout == 0.0 else "xla",
         )
+        o_vis, o_txt = out[:, :split], out[:, split:]
 
         inner_a = _ln(cfg, "inner_attn_ln_A")
         inner_b = _ln(cfg, "inner_attn_ln_B")
-        out = _multiway(inner_a, inner_b, out, split).astype(cfg.dtype)
-
         out_a = _dense(cfg, cfg.embed_dim, "out_proj_A")
         out_b = _dense(cfg, cfg.embed_dim, "out_proj_B")
-        return _multiway(out_a, out_b, out, split)
+        return (out_a(inner_a(o_vis).astype(cfg.dtype)),
+                out_b(inner_b(o_txt).astype(cfg.dtype)))
 
 
 class DropPath(nn.Module):
     """Per-sample stochastic depth on a residual branch (torchscale
     DropPath, enabled with linspace(0, drop_path_rate, L) at
-    beit3_base.py:44-48)."""
+    beit3_base.py:44-48).
+
+    Operates on the (vision, text) segment pair with ONE per-sample
+    mask applied to both segments — matching the reference, where the
+    mask is drawn for the whole joint-sequence residual."""
 
     rate: float
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+    def __call__(self, xs, deterministic: bool):
         if deterministic or self.rate == 0.0:
-            return x
+            return xs
         keep = 1.0 - self.rate
         rng = self.make_rng("dropout")
-        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-        mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
-        return x / keep * mask
+        mask = jax.random.bernoulli(
+            rng, keep, (xs[0].shape[0], 1, 1)
+        ).astype(xs[0].dtype)
+        return tuple(x / keep * mask for x in xs)
 
 
 class EncoderLayer(nn.Module):
-    """Pre-LN multiway transformer block (beit3_base.py:127-172)."""
+    """Pre-LN multiway transformer block (beit3_base.py:127-172).
+    Takes/returns the (vision, text) segment pair."""
 
     cfg: BEiT3Config
     drop_path_rate: float
 
     @nn.compact
-    def __call__(self, x, split, key_padding_mask, deterministic):
+    def __call__(self, xs, key_padding_mask, deterministic):
         cfg = self.cfg
         ln1_a = _ln(cfg, "self_attn_layer_norm_A")
         ln1_b = _ln(cfg, "self_attn_layer_norm_B")
@@ -225,65 +241,68 @@ class EncoderLayer(nn.Module):
         ln2_b = _ln(cfg, "final_layer_norm_B")
         drop_path = DropPath(self.drop_path_rate, name="drop_path")
 
-        residual = x
-        h = _multiway(ln1_a, ln1_b, x, split).astype(cfg.dtype)
-        h = MultiwayAttention(cfg, name="self_attn")(
-            h, split, key_padding_mask, deterministic
+        hs = (ln1_a(xs[0]).astype(cfg.dtype), ln1_b(xs[1]).astype(cfg.dtype))
+        hs = MultiwayAttention(cfg, name="self_attn")(
+            hs, key_padding_mask, deterministic
         )
-        h = drop_path(h, deterministic)
-        x = residual + h
+        hs = drop_path(hs, deterministic)
+        xs = (xs[0] + hs[0], xs[1] + hs[1])
 
-        residual = x
-        h = _multiway(ln2_a, ln2_b, x, split).astype(cfg.dtype)
-        h = MultiwayFFN(cfg, name="ffn")(h, split)
-        h = drop_path(h, deterministic)
-        return residual + h
+        hs = (ln2_a(xs[0]).astype(cfg.dtype), ln2_b(xs[1]).astype(cfg.dtype))
+        hs = MultiwayFFN(cfg, name="ffn")(hs)
+        hs = drop_path(hs, deterministic)
+        return (xs[0] + hs[0], xs[1] + hs[1])
 
 
 class _ScanLayerBody(nn.Module):
     """EncoderLayer variant for nn.scan: drop-path rate arrives as a
-    traced per-layer input; split/deterministic are static attrs."""
+    traced per-layer input; deterministic is a static attr."""
 
     cfg: BEiT3Config
-    split: int
     deterministic: bool
 
     @nn.compact
-    def __call__(self, x, key_padding_mask, dp_rate):
+    def __call__(self, xs, key_padding_mask, dp_rate):
         cfg = self.cfg
-        split = self.split
         det = self.deterministic
         ln1_a = _ln(cfg, "self_attn_layer_norm_A")
         ln1_b = _ln(cfg, "self_attn_layer_norm_B")
         ln2_a = _ln(cfg, "final_layer_norm_A")
         ln2_b = _ln(cfg, "final_layer_norm_B")
 
-        def drop_path(h):
+        def drop_path(hs):
             if det or cfg.drop_path_rate == 0.0:
-                return h
+                return hs
             keep = 1.0 - dp_rate
             rng = self.make_rng("dropout")
-            shape = (h.shape[0],) + (1,) * (h.ndim - 1)
-            mask = jax.random.bernoulli(rng, keep, shape).astype(h.dtype)
-            return h / keep * mask
+            mask = jax.random.bernoulli(
+                rng, keep, (hs[0].shape[0], 1, 1)
+            ).astype(hs[0].dtype)
+            return tuple(h / keep * mask for h in hs)
 
-        residual = x
-        h = _multiway(ln1_a, ln1_b, x, split).astype(cfg.dtype)
-        h = MultiwayAttention(cfg, name="self_attn")(
-            h, split, key_padding_mask, det
+        hs = (ln1_a(xs[0]).astype(cfg.dtype), ln1_b(xs[1]).astype(cfg.dtype))
+        hs = MultiwayAttention(cfg, name="self_attn")(
+            hs, key_padding_mask, det
         )
-        x = residual + drop_path(h)
+        hs = drop_path(hs)
+        xs = (xs[0] + hs[0], xs[1] + hs[1])
 
-        residual = x
-        h = _multiway(ln2_a, ln2_b, x, split).astype(cfg.dtype)
-        h = MultiwayFFN(cfg, name="ffn")(h, split)
+        hs = (ln2_a(xs[0]).astype(cfg.dtype), ln2_b(xs[1]).astype(cfg.dtype))
+        hs = MultiwayFFN(cfg, name="ffn")(hs)
+        hs = drop_path(hs)
         # scan requires a dtype-stable carry
-        return (residual + drop_path(h)).astype(cfg.dtype), None
+        return ((xs[0] + hs[0]).astype(cfg.dtype),
+                (xs[1] + hs[1]).astype(cfg.dtype)), None
 
 
 class VisionEmbedding(nn.Module):
     """Conv patchify + CLS prepend (torchscale VisionEmbedding,
-    used at beit3_base.py:417-424). Input is NHWC."""
+    used at beit3_base.py:417-424). Input is NHWC.
+
+    (An unfold+matmul formulation was benchmarked and rejected: the
+    matmul itself is 5x faster than XLA's conv emitter here, but the
+    required [B,gh,ps,gw,ps,c]->[B,gh,gw,ps,ps,c] relayout of the full
+    image costs more than the difference.)"""
 
     cfg: BEiT3Config
 
@@ -363,18 +382,17 @@ class BEiT3Encoder(nn.Module):
         x_vis = x_vis + vis_pos_table(jnp.arange(2, split + 2))
         x_txt = x_txt + txt_pos_table(jnp.arange(2, t_txt + 2))
 
-        x = jnp.concatenate([x_vis, x_txt], axis=1)
+        pad_txt = text_padding_mask.astype(bool)
+        # Zero embeddings at padded positions (beit3_base.py:367);
+        # vision positions are never padded.
+        x_txt = x_txt * (1.0 - pad_txt.astype(x_txt.dtype))[..., None]
 
+        # key-padding mask over the joint sequence, for attention
         pad = jnp.concatenate(
-            [
-                jnp.zeros((x.shape[0], split), bool),
-                text_padding_mask.astype(bool),
-            ],
-            axis=1,
+            [jnp.zeros((x_vis.shape[0], split), bool), pad_txt], axis=1
         )
-        # Zero embeddings at padded positions (beit3_base.py:367).
-        x = x * (1.0 - pad.astype(x.dtype))[..., None]
 
+        xs = (x_vis.astype(cfg.dtype), x_txt.astype(cfg.dtype))
         dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.num_layers)
         if cfg.scan_layers:
             body = _ScanLayerBody
@@ -387,26 +405,25 @@ class BEiT3Encoder(nn.Module):
                 in_axes=(nn.broadcast, 0),
                 length=cfg.num_layers,
             )
-            x, _ = scan(cfg, split, deterministic, name="layers")(
-                x.astype(cfg.dtype), pad, jnp.asarray(dpr, jnp.float32)
+            xs, _ = scan(cfg, deterministic, name="layers")(
+                xs, pad, jnp.asarray(dpr, jnp.float32)
             )
         else:
             layer_cls = (
-                nn.remat(EncoderLayer, static_argnums=(2, 4))
+                nn.remat(EncoderLayer, static_argnums=(3,))
                 if cfg.remat else EncoderLayer
             )
             for i in range(cfg.num_layers):
-                x = layer_cls(cfg, drop_path_rate=float(dpr[i]),
-                              name=f"layers_{i}")(
-                    x, split, pad, deterministic
+                xs = layer_cls(cfg, drop_path_rate=float(dpr[i]),
+                               name=f"layers_{i}")(
+                    xs, pad, deterministic
                 )
 
         # normalize_output=True -> final multiway LayerNorm
         # (beit3_base.py:227-230).
-        x = _multiway(_ln(cfg, "layer_norm_A"), _ln(cfg, "layer_norm_B"),
-                      x, split)
+        x_vis = _ln(cfg, "layer_norm_A")(xs[0])
+        text_feat = _ln(cfg, "layer_norm_B")(xs[1])
 
-        cls_feat = x[:, 0]
-        img_feat = x[:, 1:split]
-        text_feat = x[:, split:]
+        cls_feat = x_vis[:, 0]
+        img_feat = x_vis[:, 1:]
         return img_feat, text_feat, cls_feat
