@@ -18,9 +18,55 @@ from .heads.tgqs_head import TGQSHeadConfig
 from .model import SimVGConfig, SimVGModel
 
 
+def build_composed_model(model_cfg: Dict[str, Any], *,
+                         dtype=jnp.float32):
+    """SeqTR-style composition (reference OneStageModel,
+    simvg/models/det_seg/one_stage.py:6-25): separate vis_enc (zoo) +
+    lan_enc + fusion + plain DETR head, each built from its
+    reference-style config dict.  Returns (model, loss_cfg)."""
+    from .fusion import ComposedOneStageModel, CrossAttentionFusion
+    from .heads.simple_head import DETRHead, DETRHeadConfig
+    from .lan_encs import BERTLanguageEncoder, LSTMLanguageEncoder
+    from .vis_enc_zoo import build_vis_enc
+
+    ve = dict(model_cfg.get("vis_enc") or {})
+    le = dict(model_cfg.get("lan_enc") or {})
+    fu = dict(model_cfg.get("fusion") or {})
+    hd = dict(model_cfg.get("head") or {})
+
+    vis_enc = build_vis_enc(ve)
+
+    lan_type = le.pop("type", "LSTM")
+    if lan_type in ("LSTM", "RNN"):
+        le.setdefault("output_type", "original")
+        lan_enc = LSTMLanguageEncoder(**le)
+    elif lan_type == "ALBERTA":
+        lan_enc = BERTLanguageEncoder(**le)
+    else:
+        raise KeyError(f"unknown lan_enc type {lan_type!r}")
+
+    fu.pop("type", None)
+    fusion = CrossAttentionFusion(**fu)
+
+    hd.pop("type", None)
+    loss_keys = ("branch_loss_weight", "prepare_target_mode",
+                 "distill_type", "mlp_aux_loss", "as_target_query_thr")
+    loss_cfg = {k: hd.pop(k) for k in loss_keys if k in hd}
+    head = DETRHead(DETRHeadConfig(**hd))
+
+    model = ComposedOneStageModel(vis_enc=vis_enc, lan_enc=lan_enc,
+                                  fusion=fusion, head=head)
+    loss_cfg.setdefault("branch_loss_weight", {"decoder": 1.0})
+    loss_cfg["freeze_layer"] = ve.get("freeze_layer", -1)
+    loss_cfg["pretrain"] = ve.get("pretrain", None)
+    return model, loss_cfg
+
+
 def build_model(model_cfg: Dict[str, Any], *, img_size: int = 640,
                 dtype=jnp.float32) -> Tuple[SimVGModel, Dict[str, Any]]:
     """Returns (model, loss_cfg)."""
+    if model_cfg.get("type") == "OneStageModel":
+        return build_composed_model(model_cfg, dtype=dtype)
     assert model_cfg.get("type", "MIXDETRMB") in ("MIXDETRMB",), (
         model_cfg.get("type")
     )

@@ -187,3 +187,30 @@ def test_build_vis_enc_registry_vision(typ, kw):
 def test_build_vis_enc_unknown():
     with pytest.raises(KeyError):
         build_vis_enc({"type": "NoSuchBackbone"})
+
+
+def test_build_composed_one_stage_model():
+    """Reference OneStageModel composition through the config-dict
+    builder (simvg/models/det_seg/one_stage.py:6-25 key surface)."""
+    from simvg_tpu.models.builder import build_model
+
+    model, loss_cfg = build_model({
+        "type": "OneStageModel",
+        "vis_enc": {"type": "DarkNet53",
+                    "stage_blocks": (1, 1, 1, 1, 1),
+                    "stage_widths": (8, 8, 8, 16, 16)},
+        "lan_enc": {"type": "LSTM", "vocab_size": 50,
+                    "word_emb_dim": 16, "hidden_size": 8},
+        "fusion": {"type": "SimpleFusionv2", "embed_dim": 16,
+                   "num_heads": 2},
+        "head": {"type": "DETRHead", "num_queries": 3,
+                 "in_channels": 16, "embed_dim": 16,
+                 "num_encoder_layers": 1, "num_decoder_layers": 1,
+                 "attn_dropout": 0.0, "ffn_dropout": 0.0},
+    })
+    img = _img()
+    ids = jnp.asarray([[3, 7, 9, 0, 0], [2, 5, 0, 0, 0]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), img, ids)
+    out = model.apply(params, img, ids)
+    assert out["bbox_decoder"].shape[-2:] == (3, 4)
+    assert loss_cfg["branch_loss_weight"] == {"decoder": 1.0}
