@@ -173,7 +173,9 @@ def main():
     # 2) full train step on the flagship (scan layout, like the configs)
     train_cfg = SimVGConfig(
         beit3=BEiT3Config.base(img_size=640, patch_size=32,
-                               dtype=jnp.bfloat16, scan_layers=True),
+                               dtype=jnp.bfloat16, scan_layers=True,
+                               remat=True),  # required to fit bwd at
+        # bs=32 in 16G HBM (activation checkpointing, like the configs)
         head=TGQSHeadConfig(in_channels=768, dtype=jnp.bfloat16),
     )
     tb = {k: jnp.asarray(v) for k, v in

@@ -81,6 +81,7 @@ def build_model(model_cfg: Dict[str, Any], *, img_size: int = 640,
         drop_path_rate=ve.get("drop_path_rate", 0.1),
         dtype=dtype,
         attn_impl=ve.get("attn_impl", "xla"),
+        gelu_impl=ve.get("gelu_impl", "auto"),
         remat=ve.get("remat", ve.get("checkpoint_activations", False)
                      or False),
         scan_layers=ve.get("scan_layers", False),
