@@ -64,6 +64,11 @@ class BEiT3Config:
     remat: bool = False  # rematerialise encoder layers (activation
     # checkpointing; trades FLOPs for HBM like the reference's
     # checkpoint_activations flag, beit3_base.py:311-312)
+    remat_policy: str = "dots"  # "dots": save the outputs of the big
+    # parameter matmuls (qkv/out/fc1/fc2 — no batch dims) and recompute
+    # only the cheap elementwise/LN/attention-prob work in backward
+    # (jax dots_with_no_batch_dims_saveable; ~175 MB/layer at bs=32 vs
+    # 4+ GB/layer unchecked). "full": save only layer inputs.
     scan_layers: bool = False  # lax.scan over the identical encoder
     # layers: ONE layer body in the compiled program instead of
     # num_layers copies — an order of magnitude smaller HLO, much
@@ -393,11 +398,16 @@ class BEiT3Encoder(nn.Module):
         )
 
         xs = (x_vis.astype(cfg.dtype), x_txt.astype(cfg.dtype))
+        remat_kw = {}
+        if cfg.remat and cfg.remat_policy == "dots":
+            remat_kw["policy"] = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            )
         dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.num_layers)
         if cfg.scan_layers:
             body = _ScanLayerBody
             if cfg.remat:
-                body = nn.remat(body, static_argnums=())
+                body = nn.remat(body, static_argnums=(), **remat_kw)
             scan = nn.scan(
                 body,
                 variable_axes={"params": 0},
@@ -410,7 +420,7 @@ class BEiT3Encoder(nn.Module):
             )
         else:
             layer_cls = (
-                nn.remat(EncoderLayer, static_argnums=(3,))
+                nn.remat(EncoderLayer, static_argnums=(3,), **remat_kw)
                 if cfg.remat else EncoderLayer
             )
             for i in range(cfg.num_layers):

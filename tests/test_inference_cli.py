@@ -1,0 +1,65 @@
+"""E2E: tools/inference.py writes box visualisations and (with
+--with-attn) decoder cross-attention overlays (reference
+tools/inference.py + simvg/apis/inference.py:20-140, attention dump
+107-137)."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import pytest
+
+from util_synth import make_refcoco_style
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def smoke_ckpt(tmp_path_factory):
+    """A checkpoint in the CLI's on-disk format, from a 1-epoch smoke
+    train on synthetic data."""
+    root = tmp_path_factory.mktemp("synth")
+    make_refcoco_style(str(root), n_train=32, n_val=8)
+    work = tmp_path_factory.mktemp("work")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [
+        sys.executable, "tools/train.py", "configs/smoke/tiny_synth.py",
+        "--platform", "cpu", "--work-dir", str(work),
+        "--cfg-options",
+        "scheduler_config.max_epoch=1", "evaluate_interval=5",
+        "ema=False", "data.samples_per_gpu=2",
+        f"data.train.annsfile={root}/instances.json",
+        f"data.train.imgsfile={root}/images",
+        f"data.val.annsfile={root}/instances.json",
+        f"data.val.imgsfile={root}/images",
+    ]
+    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return root, os.path.join(str(work), "latest")
+
+
+def test_inference_cli_writes_boxes_and_attention(smoke_ckpt, tmp_path):
+    root, ckpt = smoke_ckpt
+    out = tmp_path / "vis"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [
+        sys.executable, "tools/inference.py",
+        "configs/smoke/tiny_synth.py", ckpt,
+        "--which-set", "val", "--output-dir", str(out),
+        "--with-attn", "--max-images", "3", "--platform", "cpu",
+        "--cfg-options",
+        f"data.val.annsfile={root}/instances.json",
+        f"data.val.imgsfile={root}/images",
+    ]
+    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    files = sorted(os.listdir(out))
+    boxes = [f for f in files if not f.endswith("_attn.jpg")]
+    attns = [f for f in files if f.endswith("_attn.jpg")]
+    assert len(boxes) == 3 and len(attns) == 3, files
+    assert all(os.path.getsize(out / f) > 0 for f in files)

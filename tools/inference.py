@@ -2,7 +2,9 @@
 """Batch inference + visualisation dumps (reference tools/inference.py +
 simvg/apis/inference.py:20-140): run a split through the model and write
 images with predicted (red) / GT (blue) boxes; GRefCOCO filters by
-score threshold."""
+score threshold.  --with-attn additionally overlays each image's
+decoder cross-attention map (the reference's `visualizer` attention
+dump, apis/inference.py:107-137)."""
 
 from __future__ import annotations
 
@@ -24,7 +26,11 @@ def main():
                    choices=["token", "decoder"])
     p.add_argument("--score-threshold", type=float, default=0.7)
     p.add_argument("--max-images", type=int, default=100)
+    p.add_argument("--with-attn", action="store_true",
+                   help="also write decoder cross-attention heatmaps")
     p.add_argument("--platform", default=None)
+    p.add_argument("--cfg-options", nargs="*", default=[],
+                   help="dotted overrides key=value")
     args = p.parse_args()
 
     if args.platform:
@@ -48,6 +54,17 @@ def main():
     from simvg_tpu.utils.visualize import imshow_expr_bbox
 
     cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        import ast
+
+        opts = {}
+        for kv in args.cfg_options:
+            k, v = kv.split("=", 1)
+            try:
+                opts[k] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                opts[k] = v
+        cfg.merge_from_dict(opts)
     img_size = cfg.get("img_size", 640)
     is_grec = cfg.get("dataset") == "GRefCOCO"
     import jax.numpy as jnp
@@ -73,12 +90,35 @@ def main():
                              params_template=params)["params"]
     step = jax.jit(make_eval_step(model))
 
+    attn_fn = None
+    if args.with_attn:
+        ps = cfg.model.get("vis_enc", {}).get("patch_size", 32)
+        grid = img_size // ps
+
+        @jax.jit
+        def attn_fn(params, inputs):
+            _, inter = model.apply(params, **inputs,
+                                   mutable=["intermediates"])
+            dec = inter["intermediates"]["head"]["decoder"]
+            # last decoder layer's cross-attention, head-averaged
+            last = sorted(k for k in dec if "cross_attn" in dec[k])[-1]
+            (w,) = dec[last]["cross_attn"]["attn_weights"]  # [B,H,Q,HW]
+            return w.mean(axis=1)  # [B, Q, HW]
+
     os.makedirs(args.output_dir, exist_ok=True)
     written = 0
     for batch in loader:
         preds = step(params,
                      {k: v for k, v in batch.items() if k != "meta"})
         p_b = preds[args.branch]
+        attn = None
+        if attn_fn is not None:
+            attn = np.asarray(attn_fn(
+                params,
+                {k: batch[k] for k in ("image", "text_ids",
+                                       "text_padding_mask",
+                                       "img_shape")},
+            ))
         for i, meta in enumerate(batch["meta"]):
             if not batch["batch_valid"][i] or written >= args.max_images:
                 continue
@@ -101,6 +141,15 @@ def main():
             )
             imshow_expr_bbox(img, box, out_file, gt_bbox=gt,
                              expression=meta["expression"])
+            if attn is not None:
+                amap = attn[i, 0].reshape(grid, grid)
+                amap = amap / max(float(amap.max()), 1e-8)
+                amap = cv2.resize((amap * 255).astype(np.uint8),
+                                  (img.shape[1], img.shape[0]))
+                heat = cv2.applyColorMap(amap, cv2.COLORMAP_JET)
+                overlay = cv2.addWeighted(img, 0.55, heat, 0.45, 0)
+                cv2.imwrite(out_file.replace(".jpg", "_attn.jpg"),
+                            overlay)
             written += 1
         if written >= args.max_images:
             break
