@@ -64,11 +64,13 @@ class BEiT3Config:
     remat: bool = False  # rematerialise encoder layers (activation
     # checkpointing; trades FLOPs for HBM like the reference's
     # checkpoint_activations flag, beit3_base.py:311-312)
-    remat_policy: str = "dots"  # "dots": save the outputs of the big
-    # parameter matmuls (qkv/out/fc1/fc2 — no batch dims) and recompute
-    # only the cheap elementwise/LN/attention-prob work in backward
-    # (jax dots_with_no_batch_dims_saveable; ~175 MB/layer at bs=32 vs
-    # 4+ GB/layer unchecked). "full": save only layer inputs.
+    remat_policy: str = "full"  # "full": save only layer inputs (the
+    # default — measured FASTER than selective saving on v5e: 198 vs
+    # 190 img/s at bs=32, because re-reading the saved matmul outputs
+    # from HBM costs more than recomputing them). "dots": save the
+    # parameter-matmul outputs (jax dots_with_no_batch_dims_saveable,
+    # ~175 MB/layer at bs=32) and recompute only elementwise/LN/
+    # attention-prob work — useful when backward-compute-bound.
     scan_layers: bool = False  # lax.scan over the identical encoder
     # layers: ONE layer body in the compiled program instead of
     # num_layers copies — an order of magnitude smaller HLO, much
