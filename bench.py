@@ -49,9 +49,11 @@ def _random_params(model, batch, rng_seed=0):
     )
 
 
-def _timed_loop(step_to_scalar, iters, warmup=WARMUP):
-    """Median wall-time of `iters` fused iterations (one executable:
-    host round trips over the tunnelled runtime are ~10s of ms)."""
+def _timed_loop(step_to_scalar, warmup=WARMUP):
+    """Wall-time of one post-warmup call.  The iteration count lives
+    INSIDE the fused executable (fori_loop), so a single dispatch times
+    all iterations at once — host round trips over the tunnelled
+    runtime are ~10s of ms and must not be in the measured window."""
     for _ in range(warmup):
         float(step_to_scalar())
     t0 = time.perf_counter()
@@ -99,7 +101,7 @@ def bench_inference(model, batch, iters=ITERS):
 
     args = (params, batch["image"], batch["text_ids"],
             batch["text_padding_mask"], batch["img_shape"])
-    dt = _timed_loop(lambda: infer_n(*args), iters)
+    dt = _timed_loop(lambda: infer_n(*args))
     b = batch["image"].shape[0]
     return b * iters / dt
 
@@ -147,7 +149,7 @@ def bench_train_step(model, batch, iters=8):
         return acc
 
     key = jax.random.PRNGKey(0)
-    dt = _timed_loop(lambda: train_n(state, batch, key), iters)
+    dt = _timed_loop(lambda: train_n(state, batch, key))
     b = batch["image"].shape[0]
     return b * iters / dt
 

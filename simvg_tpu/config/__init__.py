@@ -1,3 +1,3 @@
-from .config import Config
+from .config import Config, parse_cfg_options
 
-__all__ = ["Config"]
+__all__ = ["Config", "parse_cfg_options"]

@@ -101,3 +101,20 @@ class Config(dict):
 
         with open(path, "w") as f:
             f.write(pprint.pformat(dict(self), width=88))
+
+
+def parse_cfg_options(pairs):
+    """Parse CLI ``--cfg-options key=value`` pairs into a dotted-key
+    dict for ``Config.merge_from_dict`` (the reference's mmcv
+    DictAction surface, tools/train.py:38-48).  Values are python
+    literals where possible, else strings.  Shared by every CLI."""
+    import ast
+
+    out = {}
+    for kv in pairs:
+        k, v = kv.split("=", 1)
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out

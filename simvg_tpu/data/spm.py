@@ -199,7 +199,12 @@ class SentencePieceUnigram:
         pos = n
         while pos > 0:
             prev, pid = back[pos]
-            ids.append(pid)
+            # sentencepiece merges a maximal run of unknown characters
+            # into ONE <unk> piece; collapse consecutive unk ids so the
+            # id sequence (and therefore length/truncation) matches.
+            if not (pid == self.unk_id and ids
+                    and ids[-1] == self.unk_id):
+                ids.append(pid)
             pos = prev
         ids.reverse()
         return ids

@@ -285,10 +285,10 @@ class CorpusTokenizer(_TokenizerBase):
     the repo (instantiating it raises NameError) — the mode is broken
     legacy upstream. This is a WORKING equivalent: a word->id table
     loaded from json/pickle (or passed directly), with the reference's
-    framing — zero-padded word ids, attention mask 1 where id > 0
-    (note: INVERTED vs the beit3 1=pad convention; legacy consumers
-    derive masks from the ids themselves, so the convention is
-    cosmetic)."""
+    framing: zero-padded word ids.  The returned mask follows THIS
+    framework's uniform 1 = PAD convention (every downstream consumer —
+    collate -> batch['text_padding_mask'] -> the encoders — treats
+    nonzero as padded), i.e. mask = (ids == 0)."""
 
     def __init__(self, corpus=None, corpus_path: Optional[str] = None,
                  unk_token: str = "UNK"):
@@ -319,7 +319,7 @@ class CorpusTokenizer(_TokenizerBase):
             if i >= max_token:
                 break
             ids[i] = self.word2idx.get(w, self.unk_id)
-        mask = (ids > 0).astype(np.int32)
+        mask = (ids == 0).astype(np.int32)  # 1 = PAD, like every mode
         return ids, mask
 
 

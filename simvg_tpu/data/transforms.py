@@ -350,7 +350,12 @@ class SampleMaskVertices:
             ang = ang.astype(np.uint32)
             dist = np.sqrt(dx ** 2 + dy ** 2)
             hit_ang, hit_dist = [], []
-            for a in range(0, 360, 360 // self.num_ray):
+            # exactly num_ray evenly spaced rays (range(0,360,360//n)
+            # would emit an EXTRA ray when n doesn't divide 360)
+            ray_angles = (np.linspace(0, 360, self.num_ray,
+                                      endpoint=False)
+                          .astype(np.int64))
+            for a in ray_angles:
                 for inc in (0, 1, -1, 2, -2, 3, -3, 4, -4, 5, -5):
                     aa = a + inc
                     if (ang == aa).any():

@@ -34,7 +34,10 @@ def build_composed_model(model_cfg: Dict[str, Any], *,
     fu = dict(model_cfg.get("fusion") or {})
     hd = dict(model_cfg.get("head") or {})
 
-    vis_enc = build_vis_enc(ve)
+    # trainer-level keys consumed by loss_cfg below, not the encoder
+    ve_ctor = {k: v for k, v in ve.items()
+               if k not in ("freeze_layer", "pretrain")}
+    vis_enc = build_vis_enc(ve_ctor)
 
     lan_type = le.pop("type", "LSTM")
     if lan_type in ("LSTM", "RNN"):

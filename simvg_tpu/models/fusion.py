@@ -49,8 +49,15 @@ class ComposedOneStageModel(nn.Module):
     fusion: nn.Module
     head: nn.Module
 
-    def __call__(self, image, text_ids, img_pad_mask=None,
+    def __call__(self, image, text_ids, text_padding_mask=None,
+                 img_shape=None, img_pad_mask=None,
                  deterministic: bool = True):
+        """Same keyword surface as SimVGModel (image/text_ids/
+        text_padding_mask/img_shape) so build_model callers can drive
+        either family; text_padding_mask and img_shape are accepted for
+        interface parity (the legacy lan_encs derive the text mask from
+        the zero-padded word ids themselves, loading.py framing)."""
+        del text_padding_mask, img_shape  # see docstring
         feat = self.vis_enc(image, deterministic=deterministic)
         lang = self.lan_enc(text_ids)
         text_feat, text_mask = lang["text_feat"], lang["text_mask"]

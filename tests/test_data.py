@@ -346,9 +346,11 @@ def test_vocab_cache_roundtrip(tmp_path):
 
 
 def test_corpus_tokenizer_mode(tmp_path):
-    """'copus' mode framing: zero-padded word ids, mask 1 where id > 0
-    (the reference's mode is broken legacy — Corpus class absent — ours
-    is a working equivalent, loading.py:184-209)."""
+    """'copus' mode framing: zero-padded word ids; the mask follows the
+    framework-wide 1 = PAD convention (batch['text_padding_mask']
+    consumers treat nonzero as padded). Reference mode is broken legacy
+    — Corpus class absent — ours is a working equivalent
+    (loading.py:184-209)."""
     import json
 
     from simvg_tpu.data.tokenization import build_tokenizer
@@ -359,5 +361,5 @@ def test_corpus_tokenizer_mode(tmp_path):
     tok = build_tokenizer("copus", corpus_path=path)
     ids, mask = tok.encode("The dog barks", max_token=5)
     np.testing.assert_array_equal(ids, [2, 3, 1, 0, 0])
-    np.testing.assert_array_equal(mask, [1, 1, 1, 0, 0])
+    np.testing.assert_array_equal(mask, [0, 0, 0, 1, 1])  # 1 = PAD
     assert tok.vocab_size == 4

@@ -69,6 +69,10 @@ def test_viterbi_golden_segmentations(spm_file):
     assert sp.encode_ids("dog") == [4]
     # whitespace collapse: double space == single space
     assert sp.encode_ids("the  dog") == sp.encode_ids("the dog")
+    # a maximal run of unknown characters collapses into ONE <unk>
+    # (sentencepiece merges consecutive unknown pieces)
+    assert sp.encode_ids("doxxx") == [5, 0]  # "_do" + <unk>
+    assert sp.encode_ids("doxxg") == [5, 0, 6]  # unk run then "g"
 
 
 def test_xlmr_id_convention_and_framing(spm_file):

@@ -53,18 +53,10 @@ def main():
     from simvg_tpu.utils.checkpoint import load_checkpoint
     from simvg_tpu.utils.visualize import imshow_expr_bbox
 
-    cfg = Config.fromfile(args.config)
-    if args.cfg_options:
-        import ast
+    from simvg_tpu.config import parse_cfg_options
 
-        opts = {}
-        for kv in args.cfg_options:
-            k, v = kv.split("=", 1)
-            try:
-                opts[k] = ast.literal_eval(v)
-            except (ValueError, SyntaxError):
-                opts[k] = v
-        cfg.merge_from_dict(opts)
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_dict(parse_cfg_options(args.cfg_options))
     img_size = cfg.get("img_size", 640)
     is_grec = cfg.get("dataset") == "GRefCOCO"
     import jax.numpy as jnp
@@ -101,7 +93,11 @@ def main():
                                    mutable=["intermediates"])
             dec = inter["intermediates"]["head"]["decoder"]
             # last decoder layer's cross-attention, head-averaged
-            last = sorted(k for k in dec if "cross_attn" in dec[k])[-1]
+            # (numeric sort: "layers_10" > "layers_9")
+            last = sorted(
+                (k for k in dec if "cross_attn" in dec[k]),
+                key=lambda k: int(k.rsplit("_", 1)[-1]),
+            )[-1]
             (w,) = dec[last]["cross_attn"]["attn_weights"]  # [B,H,Q,HW]
             return w.mean(axis=1)  # [B, Q, HW]
 

@@ -5,7 +5,6 @@
 from __future__ import annotations
 
 import argparse
-import ast
 import os
 import os.path as osp
 import sys
@@ -42,15 +41,10 @@ def main():
     from simvg_tpu.utils import get_root_logger
     from simvg_tpu.utils.checkpoint import load_checkpoint
 
+    from simvg_tpu.config import parse_cfg_options
+
     cfg = Config.fromfile(args.config)
-    opts = {}
-    for kv in args.cfg_options:
-        k, v = kv.split("=", 1)
-        try:
-            opts[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            opts[k] = v
-    cfg.merge_from_dict(opts)
+    cfg.merge_from_dict(parse_cfg_options(args.cfg_options))
 
     logger = get_root_logger()
 
@@ -62,8 +56,12 @@ def main():
 
     mesh = create_mesh(model_parallel=cfg.get("model_parallel", 1))
     dp = mesh.shape["data"]
+    pc = jax.process_count()
+    if dp % pc:
+        raise ValueError(f"data-parallel size {dp} not divisible by "
+                         f"process count {pc}")
     batch_sharding = NamedSharding(mesh, P("data"))
-    logger.info(f"mesh: {dict(mesh.shape)}")
+    logger.info(f"mesh: {dict(mesh.shape)} ({pc} process(es))")
 
     seed = cfg.get("seed", 6666)
     img_size = cfg.get("img_size", 640)
@@ -88,9 +86,12 @@ def main():
                                     tokenizer=tokenizer, seed=seed,
                                     normalize_on_device=norm_on_device)
         tokenizer = ds.tokenizer
+        # each process loads its dp/pc chips' worth; the global batch
+        # (dp * spg) is assembled below (train.py eval_put semantics)
         loaders[s] = build_loader_from_cfg(ds, cfg, train=False,
                                            canvas=img_size, max_gt=max_gt,
-                                           seed=seed, batch_scale=dp)
+                                           seed=seed,
+                                           batch_scale=dp // pc)
 
     first = next(iter(loaders.values()))
     sample = next(iter(first))
@@ -104,6 +105,15 @@ def main():
     params = shard_params(ck["params"], mesh)
 
     def eval_put(device_batch):
+        if pc > 1:
+            # multi-process: each host's local batch is one shard of
+            # the global array (only addressable devices are fed)
+            import numpy as np
+
+            return {k: jax.make_array_from_process_local_data(
+                batch_sharding, np.asarray(v),
+                (v.shape[0] * pc,) + v.shape[1:])
+                for k, v in device_batch.items()}
         return {k: jax.device_put(v, batch_sharding)
                 for k, v in device_batch.items()}
 

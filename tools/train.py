@@ -11,7 +11,6 @@ the device mesh -> per-epoch eval + best/latest checkpoints.
 from __future__ import annotations
 
 import argparse
-import ast
 import os
 import os.path as osp
 import sys
@@ -41,17 +40,6 @@ def parse_args():
     return p.parse_args()
 
 
-def _parse_options(pairs):
-    out = {}
-    for kv in pairs:
-        k, v = kv.split("=", 1)
-        try:
-            out[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            out[k] = v
-    return out
-
-
 def main():
     args = parse_args()
     if args.platform:
@@ -70,7 +58,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from simvg_tpu.config import Config
+    from simvg_tpu.config import Config, parse_cfg_options
     from simvg_tpu.data.builder import (
         build_dataset_from_cfg,
         build_loader_from_cfg,
@@ -86,7 +74,7 @@ def main():
     from simvg_tpu.utils.checkpoint import load_checkpoint
 
     cfg = Config.fromfile(args.config)
-    cfg.merge_from_dict(_parse_options(args.cfg_options))
+    cfg.merge_from_dict(parse_cfg_options(args.cfg_options))
     seed = args.seed if args.seed is not None else cfg.get("seed", 6666)
     if cfg.get("debug_nans", False):
         # sanitizer equivalent (SURVEY.md §5 race-detection row): abort
