@@ -66,11 +66,16 @@ def multihead_attention(
     v = v.reshape(b, s_k, num_heads, head_dim).astype(dtype)
 
     if impl == "pallas" and not return_weights:
-        from simvg_tpu.ops.pallas_attention import fused_attention
+        # the Mosaic kernel only lowers for TPU; configs that set
+        # attn_impl="pallas" still run on CPU (smoke tests, --platform
+        # cpu) via the XLA path
+        if jax.default_backend() == "tpu":
+            from simvg_tpu.ops.pallas_attention import fused_attention
 
-        out = fused_attention(q, k, v, key_padding_mask=key_padding_mask,
-                              attn_bias=attn_bias)
-        return out.reshape(b, s_q, d).astype(dtype)
+            out = fused_attention(q, k, v,
+                                  key_padding_mask=key_padding_mask,
+                                  attn_bias=attn_bias)
+            return out.reshape(b, s_q, d).astype(dtype)
 
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
