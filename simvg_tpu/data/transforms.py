@@ -60,11 +60,20 @@ class Resize:
 
     def __call__(self, s: dict) -> dict:
         img = s["img"]
-        h, w = s["ori_shape"][:2]
         if self.keep_ratio:
+            # reference quirk kept: the keep_ratio branch computes the
+            # box scale against ORI_SHAPE (transforms.py:67-70), valid
+            # because no shipped pipeline puts an op that changes the
+            # image size before a keep_ratio Resize.
+            h, w = s["ori_shape"][:2]
             scale = min(self.img_scale[0] / w, self.img_scale[1] / h)
             new_w, new_h = _rescale_size(w, h, scale)
         else:
+            # box scale relative to the CURRENT image (mmcv.imresize
+            # return_scale semantics, transforms.py:72-75): boxes are in
+            # current-image coordinates when an earlier op (e.g.
+            # LargeScaleJitter) already changed the size.
+            h, w = img.shape[:2]
             new_w, new_h = self.img_scale
         img = cv2.resize(img, (new_w, new_h),
                          interpolation=cv2.INTER_LINEAR)
