@@ -1,0 +1,64 @@
+"""E2E: the reference's two-stage training regime through the CLI
+(configs/single/*/refcoco/refcoco_twostage_{1,2}.py semantics — stage 1
+decoder-only + EMA, stage 2 balanced distill with load_from=stage1;
+reference regime documented in SURVEY.md §2.7)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from util_synth import make_refcoco_style
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _train(config, work, root, extra=()):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [
+        sys.executable, "tools/train.py", config,
+        "--platform", "cpu", "--work-dir", str(work),
+        "--cfg-options",
+        "scheduler_config.max_epoch=1", "evaluate_interval=5",
+        "data.samples_per_gpu=2",
+        f"data.train.annsfile={root}/instances.json",
+        f"data.train.imgsfile={root}/images",
+        f"data.val.annsfile={root}/instances.json",
+        f"data.val.imgsfile={root}/images",
+        *extra,
+    ]
+    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return proc
+
+
+def test_twostage_flow(tmp_path):
+    root = tmp_path / "synth"
+    make_refcoco_style(str(root), n_train=32, n_val=8)
+    s1 = tmp_path / "s1"
+    s2 = tmp_path / "s2"
+
+    # stage 1: decoder-only loss + EMA (twostage_1 regime)
+    _train("configs/smoke/tiny_synth_stage1.py", s1, root)
+    assert (s1 / "latest").exists()
+    m1 = [json.loads(line) for line in open(s1 / "metrics.jsonl")]
+    train1 = [m for m in m1 if m.get("kind") == "train"]
+    assert train1, m1
+    # decoder-only: no token/distill loss terms in the logs
+    assert all("loss_tgt" not in m for m in train1), train1[-1]
+
+    # stage 2: balanced distill, warm-started from stage 1
+    _train("configs/smoke/tiny_synth_stage2.py", s2, root,
+           extra=(f"load_from={s1}/latest",))
+    m2 = [json.loads(line) for line in open(s2 / "metrics.jsonl")]
+    train2 = [m for m in m2 if m.get("kind") == "train"]
+    assert train2, m2
+    last = train2[-1]
+    # balanced distill active: token + distill losses present and finite
+    assert "loss_tgt" in last and np.isfinite(last["loss_tgt"]), last
+    assert "loss_kd" in last and np.isfinite(last["loss_kd"]), last
