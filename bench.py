@@ -19,6 +19,7 @@ exists.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -154,6 +155,22 @@ def bench_train_step(model, batch, iters=8):
     return b * iters / dt
 
 
+def _retry(fn, attempts=3, label=""):
+    """The axon remote compiler intermittently returns HTTP 500 on large
+    programs; one retry usually succeeds (the service recovers)."""
+    last = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            last = e
+            # stderr: stdout must stay the single JSON line
+            print(f"# bench retry {label} {i + 1}/{attempts}: "
+                  f"{type(e).__name__}", file=sys.stderr, flush=True)
+            time.sleep(10)
+    raise last
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -169,7 +186,8 @@ def main():
     model, _, t, cfg = _flagship()
     batch = {k: jnp.asarray(v)
              for k, v in _batch(BATCH, t, cfg.beit3.img_size, rng=0).items()}
-    base_infer = bench_inference(model, batch) / n_chips
+    base_infer = _retry(lambda: bench_inference(model, batch),
+                        label="flagship") / n_chips
 
     extra = {}
     # 2) full train step on the flagship (scan layout, like the configs)
@@ -186,7 +204,8 @@ def main():
           _batch(BATCH, t, 640, rng=1, with_gt=True).items()}
     try:
         extra["train_step_images_per_sec_per_chip"] = round(
-            bench_train_step(SimVGModel(train_cfg), tb) / n_chips, 2)
+            _retry(lambda: bench_train_step(SimVGModel(train_cfg), tb),
+                   label="train") / n_chips, 2)
     except Exception as e:  # noqa: BLE001
         extra["train_step_error"] = f"{type(e).__name__}: {e}"[:200]
 
@@ -201,8 +220,9 @@ def main():
           for k, v in _batch(BATCH, t, 640, rng=2).items()}
     try:
         extra["large32_images_per_sec_per_chip"] = round(
-            bench_inference(SimVGModel(large_cfg), lb, iters=10)
-            / n_chips, 2)
+            _retry(lambda: bench_inference(SimVGModel(large_cfg), lb,
+                                           iters=10),
+                   label="large32") / n_chips, 2)
     except Exception as e:  # noqa: BLE001
         extra["large32_error"] = f"{type(e).__name__}: {e}"[:200]
 
