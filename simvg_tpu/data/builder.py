@@ -53,6 +53,10 @@ def build_pipeline(pipeline_cfg, normalize_on_device: bool = False
             tfs.append(T.Pad(**op))
         elif kind == "SampleMaskVertices":
             tfs.append(T.SampleMaskVertices(**op))
+        elif kind == "VGTRAugment":
+            from simvg_tpu.data.vgtr_aug import VGTRAugment
+
+            tfs.append(VGTRAugment(**op))
         elif kind in _NOOP_TYPES:
             continue
         else:
