@@ -39,7 +39,11 @@ def make_refcoco_style(root, n_train=8, n_val=4, img_hw=(120, 160)):
 
 
 def make_grefcoco_style(root, n=6, img_hw=(96, 128)):
-    """GRefCOCO-style: multi-target and no-target expressions."""
+    """GRefCOCO-style: multi-target and no-target expressions.
+
+    Targets are drawn as green rectangles so the mapping is LEARNABLE
+    (a convergence run can validate the multi-target matching + F1
+    path); no-target samples have no green content."""
     imgdir = os.path.join(root, "images")
     os.makedirs(imgdir, exist_ok=True)
     rng = np.random.default_rng(1)
@@ -49,25 +53,30 @@ def make_grefcoco_style(root, n=6, img_hw=(96, 128)):
             image_id = (2000 if split == "train" else 3000) + i
             h, w = img_hw
             img = rng.integers(0, 255, (h, w, 3), np.uint8)
-            cv2.imwrite(
-                os.path.join(imgdir,
-                             "COCO_train2014_%012d.jpg" % image_id), img
-            )
-            if i % 3 == 2:  # no-target expression
+            if i % 3 == 2:  # no-target expression (no green content)
                 bbox = [[[0, 0, 0, 0]]]
                 annotations = [[{"category_id": -1}]]
             else:
                 k = 1 + i % 2
                 boxes = []
                 targets = []
-                for _ in range(k):
-                    x, y = int(rng.integers(0, w // 2)), int(
-                        rng.integers(0, h // 2))
-                    boxes.append([x, y, int(rng.integers(8, w // 2)),
-                                  int(rng.integers(8, h // 2))])
+                for t in range(k):
+                    # disjoint halves so two targets never merge
+                    x = int(rng.integers(t * w // 2,
+                                         t * w // 2 + w // 4))
+                    y = int(rng.integers(0, h // 2))
+                    bw = int(rng.integers(10, w // 4))
+                    bh = int(rng.integers(10, h // 2))
+                    cv2.rectangle(img, (x, y), (x + bw, y + bh),
+                                  (0, 255, 0), -1)
+                    boxes.append([x, y, bw, bh])
                     targets.append({"category_id": 1})
                 bbox = [boxes]
                 annotations = [targets]
+            cv2.imwrite(
+                os.path.join(imgdir,
+                             "COCO_train2014_%012d.jpg" % image_id), img
+            )
             anns[split].append({
                 "image_id": int(image_id),
                 "height": h,
