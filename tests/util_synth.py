@@ -65,8 +65,8 @@ def make_grefcoco_style(root, n=6, img_hw=(96, 128)):
                     x = int(rng.integers(t * w // 2,
                                          t * w // 2 + w // 4))
                     y = int(rng.integers(0, h // 2))
-                    bw = int(rng.integers(10, w // 4))
-                    bh = int(rng.integers(10, h // 2))
+                    bw = int(rng.integers(w // 5, w // 4))
+                    bh = int(rng.integers(h // 4, h // 2))
                     cv2.rectangle(img, (x, y), (x + bw, y + bh),
                                   (0, 255, 0), -1)
                     boxes.append([x, y, bw, bh])
