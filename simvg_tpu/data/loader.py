@@ -28,7 +28,7 @@ filename, target, ori_shape).
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -150,6 +150,12 @@ class DataLoader:
         self.seed = seed
         self.shard_id = shard_id
         self.num_shards = num_shards
+        if num_shards > 1 and text_buckets:
+            # multi-host: the bucket choice is a function of the LOCAL
+            # batch content, so different processes could pick different
+            # widths for the same SPMD step (mismatched global shapes).
+            # Pin the single largest bucket instead.
+            text_buckets = [max(text_buckets)]
         self.text_buckets = text_buckets
         self.epoch = 0
 
@@ -160,11 +166,16 @@ class DataLoader:
         if self.shuffle and hasattr(self.ds, "epoch"):
             self.ds.epoch = epoch
 
-    def _index_batches(self) -> List[List[int]]:
+    def _index_batches(self) -> List[Tuple[List[int], bool]]:
+        """Returns [(sample_indices, is_wrap_pad)] for this shard;
+        is_wrap_pad marks whole-batch duplicates added only so every
+        shard yields the same number of SPMD steps — their samples must
+        not count in metrics (batch_valid=False)."""
         n = len(self.ds)
         rng = np.random.default_rng(self.seed + self.epoch)
         if not self.shuffle:
-            order = np.arange(n)
+            batches = [np.arange(n)[k:k + self.bs].tolist()
+                       for k in range(0, n, self.bs)]
         elif self.group_by_flag:
             order = []
             for flag in np.unique(self.ds.flag):
@@ -191,23 +202,21 @@ class DataLoader:
             batches = [order[k:k + self.bs].tolist()
                        for k in range(0, n, self.bs)]
 
-        if not self.shuffle:
-            batches = [np.arange(n)[k:k + self.bs].tolist()
-                       for k in range(0, n, self.bs)]
-
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.bs]
-        if self.num_shards > 1 and batches:
+        flagged = [(b, False) for b in batches]
+        if self.num_shards > 1 and flagged:
             # every process must yield the SAME number of batches per
             # epoch: each train step is a global SPMD collective, so a
             # host with an extra batch would hang at epoch end (the
             # reference's DistributedGroupSampler pads ranks to equal
             # totals for the same reason). Wrap-pad to a multiple of
-            # num_shards before slicing.
-            pad = (-len(batches)) % self.num_shards
+            # num_shards before slicing; the duplicates are flagged so
+            # eval does not double-count their samples.
+            pad = (-len(flagged)) % self.num_shards
             if pad:
-                batches = batches + batches[:pad]
-        return batches[self.shard_id::self.num_shards]
+                flagged = flagged + [(b, True) for b, _ in flagged[:pad]]
+        return flagged[self.shard_id::self.num_shards]
 
     def __len__(self):
         return len(self._index_batches())
@@ -215,26 +224,29 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict]:
         batches = self._index_batches()
 
-        def make(idx_list):
-            valid = [True] * len(idx_list)
+        # one persistent decode pool for the whole epoch (creating and
+        # joining a pool per batch costs thread setup on the hot path)
+        from concurrent.futures import ThreadPoolExecutor as TPE
+
+        def make(item, ex):
+            idx_list, is_pad = item
+            valid = [not is_pad] * len(idx_list)
             # static shapes: wrap-pad the final short batch
             while len(idx_list) < self.bs:
                 idx_list = idx_list + idx_list[: self.bs - len(idx_list)]
                 valid = valid + [False] * (len(idx_list) - len(valid))
-            with ThreadPoolExecutor(self.num_workers) as ex:
-                samples = list(ex.map(self.ds.__getitem__, idx_list))
+            samples = list(ex.map(self.ds.__getitem__, idx_list))
             return collate(samples, self.canvas, self.max_gt, valid,
                            text_buckets=self.text_buckets)
 
         # double-buffer: build batch k+1 while k is consumed
-        from concurrent.futures import ThreadPoolExecutor as TPE
-
-        with TPE(1) as prefetcher:
+        with ThreadPoolExecutor(self.num_workers) as ex, \
+                TPE(1) as prefetcher:
             fut = None
-            for k, idxs in enumerate(batches):
+            for k, item in enumerate(batches):
                 if fut is None:
-                    fut = prefetcher.submit(make, idxs)
+                    fut = prefetcher.submit(make, item, ex)
                 cur = fut.result()
-                fut = (prefetcher.submit(make, batches[k + 1])
+                fut = (prefetcher.submit(make, batches[k + 1], ex)
                        if k + 1 < len(batches) else None)
                 yield cur

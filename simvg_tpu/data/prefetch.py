@@ -42,12 +42,28 @@ def device_prefetch(it: Iterator[Dict], size: int = 2,
 
 
 def normalize_images_on_device(images_u8: jnp.ndarray, mean, std,
-                               to_rgb: bool = True) -> jnp.ndarray:
+                               to_rgb: bool = True,
+                               img_shape: Optional[jnp.ndarray] = None
+                               ) -> jnp.ndarray:
     """uint8 BGR canvas -> normalised f32, fused into the device graph
-    (Normalize semantics, data/transforms.py)."""
+    (Normalize semantics, data/transforms.py).
+
+    img_shape [B, 2] (h, w): valid per-sample extents.  The host
+    pipeline normalises BEFORE padding, so canvas/pad pixels are
+    exactly 0 there; zero the pad region here too or the device path
+    would feed (0-mean)/std into the model instead (train/eval
+    equivalence of the normalize_on_device flag)."""
     x = images_u8.astype(jnp.float32)
     if to_rgb:
         x = x[..., ::-1]
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
-    return (x - mean) / std
+    x = (x - mean) / std
+    if img_shape is not None:
+        b, hh, ww, _ = x.shape
+        rows = jnp.arange(hh)[None, :, None]
+        cols = jnp.arange(ww)[None, None, :]
+        valid = ((rows < img_shape[:, 0, None, None])
+                 & (cols < img_shape[:, 1, None, None]))
+        x = x * valid[..., None].astype(x.dtype)
+    return x

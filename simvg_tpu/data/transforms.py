@@ -174,10 +174,16 @@ class LargeScaleJitter:
 
     @staticmethod
     def _crop_cover(crop: np.ndarray, gt: np.ndarray) -> float:
-        """Fraction of gt covered by crop (transforms.py:238-244)."""
+        """Fraction of gt covered by crop (transforms.py:238-244).
+
+        Deviation: gaps are clamped at 0. The reference multiplies the
+        raw (possibly negative) gaps, so a crop DIAGONALLY disjoint
+        from the box scores (neg*neg) > 0 and can be accepted, cropping
+        the referred object out entirely; clamping keeps the coverage
+        semantics it clearly intended."""
         lt = np.maximum(crop[:2], gt[:2])
         rb = np.minimum(crop[2:], gt[2:])
-        wh = rb - lt
+        wh = np.maximum(rb - lt, 0.0)
         overlap = wh[0] * wh[1]
         area = (gt[2] - gt[0]) * (gt[3] - gt[1])
         return float(overlap / max(area, 1e-12))

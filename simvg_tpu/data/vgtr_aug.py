@@ -144,7 +144,9 @@ class VGTRAugment:
         s["gt_bbox"] = bbox
         s["img_shape"] = img.shape
         s["pad_shape"] = img.shape
-        h, w = s["ori_shape"][:2]
-        s["scale_factor"] = np.asarray(
-            [self.img_size / w, self.img_size / h] * 2, np.float32)
+        # scale_factor left untouched: after letterbox + random affine
+        # + flip the mapping to original coordinates is not a per-axis
+        # scale (the reference's VGTRAugment likewise sets none —
+        # vgtr_aug.py:20-28); this legacy train-only aug does not
+        # support rescale-to-original.
         return s

@@ -79,6 +79,7 @@ def make_train_step(
         return normalize_images_on_device(
             batch["image"], device_norm["mean"], device_norm["std"],
             device_norm.get("to_rgb", True),
+            img_shape=batch.get("img_shape"),
         )
 
     def train_step(state: TrainState, batch: Dict[str, Any], rng):
@@ -164,6 +165,7 @@ def make_eval_step(model, device_norm: Optional[Dict] = None) -> Callable:
         return normalize_images_on_device(
             batch["image"], device_norm["mean"], device_norm["std"],
             device_norm.get("to_rgb", True),
+            img_shape=batch.get("img_shape"),
         )
 
     def eval_step(params, batch):

@@ -91,7 +91,6 @@ def multistep_lr_warmup(
     def schedule(step):
         epoch = step // steps_per_epoch
         warm = (epoch + 1.0) / (warmup_epochs + 1.0)
-        factor = jnp.where(epoch <= warmup_epochs - 1, warm, 1.0)
         decay = jnp.asarray(1.0, jnp.float32)
         for s in decay_steps:
             decay = decay * jnp.where(epoch + 1 >= s, decay_ratio, 1.0)
@@ -238,12 +237,34 @@ def create_optimizer(
         transforms = dict(transforms, frozen=optax.set_to_zero())
 
     tx = optax.multi_transform(transforms, label_fn)
+    pre = []
     if freeze_layer >= 0:
+        # Zero frozen gradients BEFORE the global-norm clip: the
+        # reference's clip_grad_norm_ only sees trainable params
+        # (frozen ones have requires_grad=False, so no grad at all) —
+        # letting frozen grads inflate the norm would systematically
+        # shrink the trainable updates whenever clipping is active.
+        def _zero_frozen_grads():
+            def init(params):
+                return optax.EmptyState()
+
+            def update(updates, state, params=None):
+                labels = label_fn(updates)
+                updates = jax.tree_util.tree_map(
+                    lambda u, lab: jnp.zeros_like(u)
+                    if lab == "frozen" else u,
+                    updates, labels,
+                )
+                return updates, state
+
+            return optax.GradientTransformation(init, update)
+
+        pre.append(_zero_frozen_grads())
         # scan (stacked) layout: zero the frozen layers' update rows
-        tx = optax.chain(tx, _scan_freeze_mask(freeze_layer))
+        pre.append(_scan_freeze_mask(freeze_layer))
     if grad_norm_clip and grad_norm_clip > 0:
-        tx = optax.chain(optax.clip_by_global_norm(grad_norm_clip), tx)
-    return tx
+        pre.append(optax.clip_by_global_norm(grad_norm_clip))
+    return optax.chain(*pre, tx) if pre else tx
 
 
 def create_train_state(

@@ -122,3 +122,70 @@ def test_device_norm_train_step_matches_host_norm():
     l_host = run(host_norm, None)
     l_dev = run(raw_u8, {"mean": mean, "std": std, "to_rgb": True})
     np.testing.assert_allclose(l_dev, l_host, rtol=1e-5)
+
+
+def test_device_normalize_pad_region_matches_host():
+    """normalize_on_device must feed the model the SAME pad pixels the
+    host Normalize->Pad path produces (exact zeros), for images smaller
+    than the canvas."""
+    import numpy as np
+    from simvg_tpu.data.prefetch import normalize_images_on_device
+
+    rng = np.random.default_rng(0)
+    canvas = 16
+    u8 = np.zeros((2, canvas, canvas, 3), np.uint8)
+    shapes = np.asarray([[10, 12], [16, 16]], np.int32)
+    for i, (h, w) in enumerate(shapes):
+        u8[i, :h, :w] = rng.integers(0, 255, (h, w, 3))
+    mean = [123.675, 116.28, 103.53]
+    std = [58.395, 57.12, 57.375]
+    out = np.asarray(normalize_images_on_device(
+        jnp.asarray(u8), mean, std, to_rgb=True,
+        img_shape=jnp.asarray(shapes)))
+    # pad region is exactly zero (host path: normalize THEN pad with 0)
+    assert np.all(out[0, 10:, :, :] == 0.0)
+    assert np.all(out[0, :, 12:, :] == 0.0)
+    # valid region matches host normalization
+    want = (u8[0, :10, :12, ::-1].astype(np.float32)
+            - np.asarray(mean)) / np.asarray(std)
+    np.testing.assert_allclose(out[0, :10, :12], want, rtol=1e-5)
+
+
+def test_shard_wrap_pad_batches_marked_invalid():
+    """Cross-shard wrap-pad duplicates (equal SPMD step counts) must
+    not count in metrics: their batch_valid is all False."""
+    import numpy as np
+    from simvg_tpu.data.loader import DataLoader
+
+    class DS:
+        flag = np.zeros(10, np.int64)
+
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            img = np.zeros((8, 8, 3), np.float32)
+            return {
+                "img": img, "img_shape": img.shape,
+                "ori_shape": img.shape, "pad_shape": img.shape,
+                "scale_factor": np.ones(4, np.float32),
+                "ref_expr_inds": np.zeros(4, np.int32),
+                "text_attention_mask": np.ones(4, np.int32),
+                "gt_bbox": np.asarray([0, 0, 4, 4], np.float64),
+                "with_bbox": True, "with_mask": False,
+                "filename": f"f{i}", "expression": "x",
+            }
+
+    # 10 samples, bs=2 -> 5 batches; 4 shards -> pad to 8 (3 dup
+    # batches); every shard yields 2 batches
+    loaders = [DataLoader(DS(), batch_size=2, canvas=8, shuffle=False,
+                          num_workers=1, shard_id=s, num_shards=4)
+               for s in range(4)]
+    counts = [len(l) for l in loaders]
+    assert counts == [2, 2, 2, 2]
+    valid_total = 0
+    for l in loaders:
+        for b in l:
+            valid_total += int(np.asarray(b["batch_valid"]).sum())
+    # exactly the 10 real samples count once; 3 dup batches invalid
+    assert valid_total == 10, valid_total
