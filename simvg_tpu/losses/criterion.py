@@ -101,15 +101,11 @@ def hungarian_match(logits, boxes, targets: Targets):
     return jax.vmap(hungarian_assign)(cost, targets.valid)
 
 
-def _ce_loss(
-    logits: jnp.ndarray,  # [B, Q, C+1]
-    col4row: jnp.ndarray,  # [B, Q]
-    targets: Targets,
-    num_classes: int,
-    eos_coef: float,
-) -> jnp.ndarray:
-    """torch F.cross_entropy with the eos class weight
-    (criterion.py:103-127): weighted mean over all B*Q logits."""
+def _per_query_nll(logits, col4row, targets: Targets, num_classes: int,
+                   eos_coef: float):
+    """Shared CE core: per-query eos-weighted NLL against the matched
+    class (no-object for unmatched queries).  Returns (nll*class_w,
+    class_w, tgt_cls)."""
     matched = col4row >= 0
     tgt_cls = jnp.where(
         matched,
@@ -119,7 +115,21 @@ def _ce_loss(
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, tgt_cls[..., None], axis=-1)[..., 0]
     w = jnp.where(tgt_cls == num_classes, eos_coef, 1.0)
-    return (w * nll).sum() / jnp.maximum(w.sum(), 1e-12)
+    return w * nll, w, tgt_cls
+
+
+def _ce_loss(
+    logits: jnp.ndarray,  # [B, Q, C+1]
+    col4row: jnp.ndarray,  # [B, Q]
+    targets: Targets,
+    num_classes: int,
+    eos_coef: float,
+) -> jnp.ndarray:
+    """torch F.cross_entropy with the eos class weight
+    (criterion.py:103-127): weighted mean over all B*Q logits."""
+    wnll, w, _ = _per_query_nll(logits, col4row, targets, num_classes,
+                                eos_coef)
+    return wnll.sum() / jnp.maximum(w.sum(), 1e-12)
 
 
 def _focal_loss(
@@ -132,16 +142,18 @@ def _focal_loss(
     gamma: float = 2.0,
 ) -> jnp.ndarray:
     """"focal_loss" class type (criterion.py:31-59, 138-158): sigmoid
-    focal loss on one-hot targets over the real classes, mean over
-    classes, sum over queries / num_boxes, x num_queries."""
+    focal loss over ALL logit columns INCLUDING the no-object column —
+    the reference builds a [B,Q,C+2] one-hot and drops only the last
+    (never-set) column (criterion.py:141-148), so unmatched queries get
+    a POSITIVE label at the no-object column and that logit trains."""
     matched = col4row >= 0
     tgt_cls = jnp.where(
         matched,
         jnp.take_along_axis(targets.labels, jnp.clip(col4row, 0), axis=1),
         num_classes,
     )
-    onehot = jax.nn.one_hot(tgt_cls, num_classes + 1)[..., :-1]
-    x = logits[..., :-1].astype(jnp.float32)
+    onehot = jax.nn.one_hot(tgt_cls, num_classes + 2)[..., :-1]
+    x = logits.astype(jnp.float32)
     prob = jax.nn.sigmoid(x)
     ce = jnp.maximum(x, 0) - x * onehot + jnp.log1p(jnp.exp(-jnp.abs(x)))
     p_t = prob * onehot + (1 - prob) * (1 - onehot)
@@ -155,22 +167,18 @@ def _focal_loss(
 
 def _weighted_ce_loss(
     logits, col4row, row4col, targets: Targets, num_classes: int,
-    eos_coef: float,
+    eos_coef: float, dp_size: int = 1,
 ) -> jnp.ndarray:
     """"weighted_ce_loss" (criterion.py:128-137): per-query weights 1/10,
     raised to 1.0 at the *matched target indices* (the reference indexes
     the query-weight vector with target indices J — replicated verbatim
-    for checkpoint parity), then (w * ce).mean(-1).sum()."""
-    matched = col4row >= 0
-    tgt_cls = jnp.where(
-        matched,
-        jnp.take_along_axis(targets.labels, jnp.clip(col4row, 0), axis=1),
-        num_classes,
-    )
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, tgt_cls[..., None], axis=-1)[..., 0]
-    cw = jnp.where(tgt_cls == num_classes, eos_coef, 1.0)
-    ce = cw * nll  # reduction="none" semantics
+    for checkpoint parity), then (w * ce).mean(-1).sum().
+
+    dp_size: the reference SUMS over its per-rank batch and DDP grad
+    averaging divides by world; on the pjit global batch the same
+    gradients require sum_global / dp_size."""
+    ce, _, _ = _per_query_nll(logits, col4row, targets, num_classes,
+                              eos_coef)  # reduction="none" semantics
 
     b, q = col4row.shape
     t = targets.valid.shape[1]
@@ -183,7 +191,7 @@ def _weighted_ce_loss(
         else tgt_matched[:, :q]
     )
     qw = jnp.where(tm, 1.0, qw)
-    return (qw * ce).mean(-1).sum()
+    return (qw * ce).mean(-1).sum() / dp_size
 
 
 def _box_losses(
@@ -255,7 +263,8 @@ def set_criterion(
         col4row, row4col = hungarian_match(logits, boxes, targets)
         if loss_class_type == "weighted_ce_loss":
             lc = _weighted_ce_loss(logits, col4row, row4col, targets,
-                                   num_classes, eos_coef)
+                                   num_classes, eos_coef,
+                                   dp_size=dp_size)
         elif loss_class_type == "focal_loss":
             lc = _focal_loss(logits, col4row, targets, num_classes,
                              num_boxes)
@@ -311,8 +320,11 @@ def prepare_soft_targets(
             valid=valid,
             weight=scores * valid,
         )
-        wsum = (tp.weight * tp.valid).sum()
-        wd = wsum / jnp.maximum(tp.valid.sum(), 1)
+        # reference weights_distill: torch.mean over the CONCATENATED
+        # full-length weight vectors (zeros below threshold), i.e.
+        # divide by B*Q — not by the above-threshold count
+        # (tgqs_kd_detr_head.py:240-247, 491)
+        wd = (tp.weight * tp.valid).sum() / (b * q)
         return tp, wd
 
     assert prepare_target_mode == "score_iou_weighted", prepare_target_mode
@@ -390,6 +402,16 @@ def simvg_branch_losses(
     losses: Dict[str, jnp.ndarray] = {}
     total = 0.0
 
+    # The reference's targets_gt for ALL GT losses comes from
+    # prepare_soft_targets, which DROPS GRefCOCO no-target rows
+    # (category_id == -1) entirely (tgqs_kd_detr_head.py:222-231,
+    # 472-474): they never become Hungarian targets, contribute no box
+    # loss, and don't count in num_boxes. label 1 marks those rows in
+    # our padded layout.
+    targets_gt = targets_gt._replace(
+        valid=targets_gt.valid & (targets_gt.labels == 0)
+    )
+
     cls_dec = head_out["class_decoder"]
     box_dec = head_out["bbox_decoder"]
     cls_tok = head_out["class_token"]
@@ -437,6 +459,10 @@ def simvg_branch_losses(
             targets_pred, _ = prepare_soft_targets(
                 cls_dec[-1], box_dec[-1], targets_gt,
                 prepare_target_mode=prepare_target_mode,
+                # the reference passes as_target_query_thr to its one
+                # prepare_soft_targets call for every branch
+                # (tgqs_kd_detr_head.py:472-474)
+                predict_threshold=as_target_query_thr,
             )
             if distill_type == "hard_weighted":
                 k = set_criterion(

@@ -66,15 +66,20 @@ def multihead_attention(
     v = v.reshape(b, s_k, num_heads, head_dim).astype(dtype)
 
     if impl == "pallas" and not return_weights:
-        # the Mosaic kernel only lowers for TPU; configs that set
-        # attn_impl="pallas" still run on CPU (smoke tests, --platform
-        # cpu) via the XLA path
-        if jax.default_backend() == "tpu":
+        # The fused kernel handles none of: non-TPU backends (Mosaic
+        # lowering), additive attn_bias, or post-softmax dropout — fall
+        # back to the XLA path for any of those instead of crashing or
+        # silently skipping dropout.
+        kernel_ok = (
+            jax.default_backend() == "tpu"
+            and attn_bias is None
+            and (deterministic or dropout_rate == 0.0)
+        )
+        if kernel_ok:
             from simvg_tpu.ops.pallas_attention import fused_attention
 
             out = fused_attention(q, k, v,
-                                  key_padding_mask=key_padding_mask,
-                                  attn_bias=attn_bias)
+                                  key_padding_mask=key_padding_mask)
             return out.reshape(b, s_q, d).astype(dtype)
 
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,

@@ -282,3 +282,90 @@ def test_hard_weighted_distill_matches_oracle():
         )
         np.testing.assert_allclose(float(ours["total"]), oracle,
                                    rtol=3e-4, atol=3e-4)
+
+
+def test_focal_loss_trains_no_object_column():
+    """Reference focal builds a [B,Q,C+2] one-hot and drops only the
+    never-set last column (criterion.py:141-148): unmatched queries get
+    a POSITIVE label at the no-object column, so its logit receives
+    gradient. Oracle in numpy."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    b, q, c = 2, 4, 1
+    logits = jnp.asarray(rng.normal(size=(1, b, q, c + 1)), jnp.float32)
+    boxes = jnp.asarray(rng.uniform(0.2, 0.5, (1, b, q, 4)), jnp.float32)
+    tgts = Targets(
+        labels=jnp.zeros((b, 1), jnp.int32),
+        boxes=jnp.asarray(rng.uniform(0.2, 0.5, (b, 1, 4)), jnp.float32),
+        valid=jnp.ones((b, 1), bool),
+        weight=jnp.ones((b, 1), jnp.float32),
+    )
+    out = set_criterion(logits, boxes, tgts,
+                        loss_class_type="focal_loss")
+    assert np.isfinite(float(out["total"]))
+    # gradient must reach the no-object column
+    g = jax.grad(lambda lg: set_criterion(
+        lg, boxes, tgts, loss_class_type="focal_loss")["total"])(logits)
+    assert float(jnp.abs(g[..., -1]).sum()) > 0.0, (
+        "no-object logit got no gradient")
+
+
+def test_no_target_rows_excluded_from_gt_losses():
+    """GRefCOCO no-target rows (label 1) must not be Hungarian targets
+    for the GT losses (the reference drops category_id==-1 rows before
+    any loss, tgqs_kd_detr_head.py:222-231)."""
+    rng = np.random.default_rng(1)
+    L, b, q = 1, 2, 3
+    head_out = {
+        "class_decoder": jnp.asarray(rng.normal(size=(L, b, q, 2)),
+                                     jnp.float32),
+        "bbox_decoder": jnp.asarray(rng.uniform(0.2, 0.6, (L, b, q, 4)),
+                                    jnp.float32),
+        "class_token": jnp.asarray(rng.normal(size=(L, b, q, 2)),
+                                   jnp.float32),
+        "bbox_token": jnp.asarray(rng.uniform(0.2, 0.6, (L, b, q, 4)),
+                                  jnp.float32),
+    }
+    boxes = jnp.asarray(rng.uniform(0.2, 0.6, (b, 2, 4)), jnp.float32)
+    # sample 0: one object row + one NO-TARGET row (label 1, valid)
+    with_nt = Targets(
+        labels=jnp.asarray([[0, 1], [0, 0]], jnp.int32),
+        boxes=boxes,
+        valid=jnp.asarray([[True, True], [True, True]]),
+        weight=jnp.ones((b, 2), jnp.float32),
+    )
+    # same but the no-target row already invalid
+    filtered = with_nt._replace(
+        valid=jnp.asarray([[True, False], [True, True]]))
+    kw = dict(branch_loss_weight={"decoder": 1.0})
+    l1 = simvg_branch_losses(head_out, with_nt, **kw)
+    l2 = simvg_branch_losses(head_out, filtered, **kw)
+    np.testing.assert_allclose(float(l1["loss_total"]),
+                               float(l2["loss_total"]), rtol=1e-6)
+
+
+def test_score_weighted_wd_divides_by_full_bq():
+    """weights_distill for score_weighted = mean over the FULL B*Q
+    weight vectors with zeros below threshold
+    (tgqs_kd_detr_head.py:240-247, 491)."""
+    b, q = 2, 4
+    logits = jnp.zeros((b, q, 2), jnp.float32)
+    # softmax of zeros -> P(object)=0.5 everywhere
+    boxes = jnp.full((b, q, 4), 0.4, jnp.float32)
+    tgts = Targets(
+        labels=jnp.zeros((b, 1), jnp.int32),
+        boxes=jnp.full((b, 1, 4), 0.4, jnp.float32),
+        valid=jnp.ones((b, 1), bool),
+        weight=jnp.ones((b, 1), jnp.float32),
+    )
+    _, wd = prepare_soft_targets(logits, boxes, tgts,
+                                 prepare_target_mode="score_weighted",
+                                 predict_threshold=0.0)
+    # all 8 queries above threshold with weight 0.5 -> mean 0.5
+    np.testing.assert_allclose(float(wd), 0.5, rtol=1e-6)
+    _, wd2 = prepare_soft_targets(logits, boxes, tgts,
+                                  prepare_target_mode="score_weighted",
+                                  predict_threshold=0.6)
+    # nothing above threshold: mean over B*Q of zeros = 0
+    np.testing.assert_allclose(float(wd2), 0.0, atol=1e-7)
