@@ -409,7 +409,10 @@ class BEiT3Encoder(nn.Module):
         if cfg.scan_layers:
             body = _ScanLayerBody
             if cfg.remat:
-                body = nn.remat(body, static_argnums=(), **remat_kw)
+                # prevent_cse=False: unnecessary under scan/while (flax
+                # docs) and avoids CSE-barrier overhead in the loop body
+                body = nn.remat(body, static_argnums=(),
+                                prevent_cse=False, **remat_kw)
             scan = nn.scan(
                 body,
                 variable_axes={"params": 0},

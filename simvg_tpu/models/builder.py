@@ -85,6 +85,9 @@ def build_model(model_cfg: Dict[str, Any], *, img_size: int = 640,
         dtype=dtype,
         attn_impl=ve.get("attn_impl", "xla"),
         gelu_impl=ve.get("gelu_impl", "auto"),
+        remat_policy=ve.get("remat_policy", "full"),
+        dropout=ve.get("dropout", 0.0),
+        attention_dropout=ve.get("attention_dropout", 0.0),
         remat=ve.get("remat", ve.get("checkpoint_activations", False)
                      or False),
         scan_layers=ve.get("scan_layers", False),

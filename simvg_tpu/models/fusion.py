@@ -60,7 +60,13 @@ class ComposedOneStageModel(nn.Module):
         del text_padding_mask, img_shape  # see docstring
         feat = self.vis_enc(image, deterministic=deterministic)
         lang = self.lan_enc(text_ids)
-        text_feat, text_mask = lang["text_feat"], lang["text_mask"]
+        if isinstance(lang, dict):
+            text_feat, text_mask = lang["text_feat"], lang["text_mask"]
+        else:
+            # pooled lan_enc modes (max/mean/default/query) return a
+            # [B, N, C] array of pooled vectors with no padding
+            text_feat = lang
+            text_mask = jnp.zeros(lang.shape[:2], bool)
         fused = self.fusion(feat, text_feat, text_mask)
         if img_pad_mask is None:
             b, h, w, _ = fused.shape

@@ -62,6 +62,14 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.return_intermediate and self.num_layers > 1:
+            # intermediates are stacked, so every layer's output width
+            # must equal output_dim (the reference's token-branch usage;
+            # a mixed-width stack would fail deep inside jnp.stack)
+            assert self.hidden_dim == self.output_dim, (
+                "MLP(return_intermediate=True) requires "
+                f"hidden_dim == output_dim, got {self.hidden_dim} vs "
+                f"{self.output_dim}")
         dd = dict(dtype=self.dtype, param_dtype=jnp.float32)
         outs = []
         for i in range(self.num_layers):

@@ -64,11 +64,9 @@ from simvg_tpu.ops.attention import multihead_attention
 # ---------------------------------------------------------------------------
 
 def _gn(ch: int, name: str):
-    g = 32 if ch % 32 == 0 else max(
-        gg for gg in (16, 8, 4, 2, 1) if ch % gg == 0
-    )
-    return nn.GroupNorm(num_groups=g, dtype=jnp.float32,
-                        param_dtype=jnp.float32, name=name)
+    from simvg_tpu.models.vis_encs import adaptive_group_norm
+
+    return adaptive_group_norm(ch, name)
 
 
 def _conv(ch, k, s, name, dtype, groups=1, bias=False):
@@ -284,7 +282,6 @@ class SwinTransformer(nn.Module):
                     mask = jnp.asarray(
                         _swin_shift_mask(hp, wp, win, shift)
                     )[:, None, :, :]  # [nW, 1, N, N]
-                    nw = mask.shape[0]
                     mask = jnp.tile(mask, (b, 1, 1, 1))
                 else:
                     mask = None
@@ -706,6 +703,12 @@ class ViLTEncoder(nn.Module):
                              (1, h * w, d), jnp.float32)
         x = x + img_pos.astype(dt)
 
+        if text_ids.shape[1] > cfg.max_text_len:
+            # HF-style truncation (the positional table has exactly
+            # max_text_len+1 rows)
+            text_ids = text_ids[:, :cfg.max_text_len]
+            if text_mask is not None:
+                text_mask = text_mask[:, :cfg.max_text_len]
         t_len = text_ids.shape[1]
         wemb = nn.Embed(cfg.vocab_size, d, dtype=dt,
                         param_dtype=jnp.float32, name="word_embed")

@@ -21,6 +21,17 @@ import flax.linen as nn
 from simvg_tpu.ops.attention import multihead_attention
 
 
+def adaptive_group_norm(ch: int, name: str) -> nn.GroupNorm:
+    """GroupNorm with the group count adapted to narrow (test) widths:
+    the largest of (32, 16, 8, 4, 2, 1) dividing ch.  Shared by every
+    conv backbone (here and vis_enc_zoo)."""
+    g = 32 if ch % 32 == 0 else max(
+        gg for gg in (16, 8, 4, 2, 1) if ch % gg == 0
+    )
+    return nn.GroupNorm(num_groups=g, dtype=jnp.float32,
+                        param_dtype=jnp.float32, name=name)
+
+
 class ResNetEncoder(nn.Module):
     """Compact ResNet (vis_encs/resnet.py role): bottleneck stages with
     stride-32 output grid, matching the ViT interface.  Depths (3,4,6,3)
@@ -34,13 +45,9 @@ class ResNetEncoder(nn.Module):
     def __call__(self, images: jnp.ndarray, deterministic: bool = True):
         dd = dict(dtype=self.dtype, param_dtype=jnp.float32,
                   use_bias=False)
-        def ln(name, ch=None):
-            # group count adapts to narrow test widths
-            g = 32 if (ch is None or ch % 32 == 0) else max(
-                gg for gg in (16, 8, 4, 2, 1) if ch % gg == 0
-            )
-            return nn.GroupNorm(num_groups=g, dtype=jnp.float32,
-                                param_dtype=jnp.float32, name=name)
+
+        def ln(name, ch):
+            return adaptive_group_norm(ch, name)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     name="stem", **dd)(images.astype(self.dtype))
         x = nn.relu(ln("stem_norm", 64)(x).astype(self.dtype))

@@ -16,8 +16,10 @@ only) never need the full optimizer tree; a JSON sidecar carries scalars
 from __future__ import annotations
 
 import json
+import os
 import os.path as osp
 import shutil
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -34,6 +36,8 @@ def _to_host(tree):
 # only forced waits are before touching a path that may still be
 # written, and in wait_for_checkpoints().
 _CKPTR: Optional[ocp.StandardCheckpointer] = None
+_SAVE_SEQ = 0
+_FINALIZERS: list = []
 
 
 def _checkpointer() -> ocp.StandardCheckpointer:
@@ -44,9 +48,12 @@ def _checkpointer() -> ocp.StandardCheckpointer:
 
 
 def wait_for_checkpoints():
-    """Block until every in-flight async save has committed."""
+    """Block until every in-flight async save has committed AND its
+    tmp-dir swap finalized."""
     if _CKPTR is not None:
         _CKPTR.wait_until_finished()
+    while _FINALIZERS:
+        _FINALIZERS.pop().join()
 
 
 def save_checkpoint(
@@ -61,12 +68,16 @@ def save_checkpoint(
     ema_step: Optional[int] = None,
     block: bool = False,
 ) -> str:
+    global _SAVE_SEQ
     path = osp.abspath(osp.join(work_dir, name))
     ckptr = _checkpointer()
-    if osp.exists(path):
-        # never delete under an in-flight writer
-        ckptr.wait_until_finished()
-        shutil.rmtree(path)
+    # serialize with any in-flight save AND its swap before touching
+    # directories
+    wait_for_checkpoints()
+    _SAVE_SEQ += 1
+    tmp = f"{path}.tmp{_SAVE_SEQ}"
+    if osp.exists(tmp):
+        shutil.rmtree(tmp)
     items = {"params": params}
     if opt_state is not None:
         items["opt_state"] = opt_state
@@ -74,17 +85,35 @@ def save_checkpoint(
         items["ema_params"] = ema_params
     for key, tree in items.items():
         # orbax streams device arrays directly; no host staging copy
-        ckptr.save(osp.join(path, key), tree)
-    if block:
+        ckptr.save(osp.join(tmp, key), tree)
+
+    meta = {"epoch": epoch, "metrics": metrics or {},
+            # EMA warmup counter: without it, resume restarts the
+            # warmup decay min(alpha,(t+1)/(t+10)) at t=0 and the
+            # first post-resume update collapses the shadow ~90%
+            # toward the live params
+            "ema_step": ema_step,
+            "items": sorted(items)}
+
+    def _finalize():
+        # Crash-safe ordering: meta.json is written only AFTER the
+        # async saves commit (a dir without meta.json is never a valid
+        # checkpoint — see load/latest), and the previous checkpoint is
+        # deleted only after the replacement is fully on disk, so a
+        # preemption mid-save always leaves an intact fallback.
         ckptr.wait_until_finished()
-    with open(osp.join(path, "meta.json"), "w") as f:
-        json.dump({"epoch": epoch, "metrics": metrics or {},
-                   # EMA warmup counter: without it, resume restarts the
-                   # warmup decay min(alpha,(t+1)/(t+10)) at t=0 and the
-                   # first post-resume update collapses the shadow ~90%
-                   # toward the live params
-                   "ema_step": ema_step,
-                   "items": sorted(items)}, f)
+        with open(osp.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        if osp.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    if block:
+        _finalize()
+    else:
+        th = threading.Thread(target=_finalize, daemon=True)
+        th.start()
+        _FINALIZERS.append(th)
     return path
 
 
@@ -99,8 +128,8 @@ def load_checkpoint(
     """Returns {"params", ["opt_state"], ["ema_params"], "epoch",
     "metrics"}.  Templates restore exact dtypes/shapes."""
     path = osp.abspath(path)
+    wait_for_checkpoints()  # the path may still be being written/swapped
     ckptr = _checkpointer()
-    ckptr.wait_until_finished()  # the path may still be being written
 
     out: Dict[str, Any] = {}
     tmpl = _to_host(params_template) if params_template is not None \
@@ -125,4 +154,6 @@ def load_checkpoint(
 
 def latest_checkpoint(work_dir: str) -> Optional[str]:
     p = osp.join(work_dir, "latest")
-    return p if osp.isdir(p) else None
+    # meta.json is written after the async saves commit; a dir without
+    # it is a partial save, not a checkpoint
+    return p if osp.isfile(osp.join(p, "meta.json")) else None

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import logging
+import os
 from typing import Optional
 
 _LOGGER_NAME = "simvg_tpu"
@@ -20,9 +21,11 @@ def get_root_logger(log_file: Optional[str] = None,
         logger.addHandler(sh)
         logger.setLevel(log_level)
         logger.propagate = False
+    # baseFilename is absolute: compare absolute paths or a repeated
+    # call with a relative log_file attaches a duplicate handler
     if log_file is not None and not any(
         isinstance(h, logging.FileHandler)
-        and getattr(h, "baseFilename", None) == log_file
+        and getattr(h, "baseFilename", None) == os.path.abspath(log_file)
         for h in logger.handlers
     ):
         fh = logging.FileHandler(log_file)
