@@ -159,6 +159,37 @@ def _scan_freeze_mask(freeze_layer: int) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
+def make_lr_schedule(
+    base: float,
+    steps_per_epoch: int,
+    *,
+    scheduler_type: str = "MultiStepLRWarmUp",
+    warmup_epochs: int = 3,
+    decay_steps: Sequence[int] = (25,),
+    decay_ratio: float = 0.1,
+    scheduler_kw: Optional[Dict] = None,
+):
+    """The scheduler registry (reference core/scheduler.py:13-78).
+    Single source of truth: both the optimizer (create_optimizer) and
+    the CLI's lr logging use this, so the logged lr always matches the
+    applied one."""
+    scheduler_kw = scheduler_kw or {}
+    if scheduler_type == "MultiStepLRWarmUp":
+        return multistep_lr_warmup(base, steps_per_epoch,
+                                   warmup_epochs, decay_steps,
+                                   decay_ratio)
+    if scheduler_type == "CosineAnnealingLR":
+        return cosine_annealing_lr(
+            base, steps_per_epoch, scheduler_kw.get("T_max", 30),
+            scheduler_kw.get("eta_min", 0.0))
+    if scheduler_type == "CosineAnnealingLRWarmRestarts":
+        return cosine_annealing_warm_restarts(
+            base, steps_per_epoch, scheduler_kw.get("T_0", 10),
+            scheduler_kw.get("T_mult", 1),
+            scheduler_kw.get("eta_min", 0.0))
+    raise ValueError(f"unknown scheduler {scheduler_type!r}")
+
+
 def create_optimizer(
     lr: float,
     steps_per_epoch: int,
@@ -184,20 +215,11 @@ def create_optimizer(
     scheduler_kw = scheduler_kw or {}
 
     def mk_schedule(base):
-        if scheduler_type == "MultiStepLRWarmUp":
-            return multistep_lr_warmup(base, steps_per_epoch,
-                                       warmup_epochs, decay_steps,
-                                       decay_ratio)
-        if scheduler_type == "CosineAnnealingLR":
-            return cosine_annealing_lr(
-                base, steps_per_epoch, scheduler_kw.get("T_max", 30),
-                scheduler_kw.get("eta_min", 0.0))
-        if scheduler_type == "CosineAnnealingLRWarmRestarts":
-            return cosine_annealing_warm_restarts(
-                base, steps_per_epoch, scheduler_kw.get("T_0", 10),
-                scheduler_kw.get("T_mult", 1),
-                scheduler_kw.get("eta_min", 0.0))
-        raise ValueError(f"unknown scheduler {scheduler_type!r}")
+        return make_lr_schedule(
+            base, steps_per_epoch, scheduler_type=scheduler_type,
+            warmup_epochs=warmup_epochs, decay_steps=decay_steps,
+            decay_ratio=decay_ratio, scheduler_kw=scheduler_kw,
+        )
 
     def mk(base):
         sched = mk_schedule(base)

@@ -101,7 +101,13 @@ def save_checkpoint(
         # checkpoint — see load/latest), and the previous checkpoint is
         # deleted only after the replacement is fully on disk, so a
         # preemption mid-save always leaves an intact fallback.
+        # Multi-host: every process calls save() (orbax's internal
+        # barriers require it) but only process 0 performs the swap —
+        # concurrent rmtree/rename from several ranks on a shared
+        # work_dir would destroy the winner's checkpoint.
         ckptr.wait_until_finished()
+        if jax.process_index() != 0:
+            return
         with open(osp.join(tmp, "meta.json"), "w") as f:
             json.dump(meta, f)
         if osp.exists(path):

@@ -426,9 +426,6 @@ def main():
     print(f"wrote {args.output}")
 
 
-if __name__ == "__main__":
-    main()
-
 
 # ------------------------------------------------------------- export
 
@@ -639,3 +636,7 @@ def unstack_scan_layers(params: Dict) -> Dict:
     for i in range(n):
         tree[f"layers_{i}"] = jax.tree.map(lambda x: x[i], stacked)
     return out
+
+
+if __name__ == "__main__":
+    main()

@@ -54,8 +54,16 @@ def main():
     # reference demo.py:57-75)
     tfs, load_cfg = build_pipeline(cfg.get("val_pipeline", []))
     max_token = load_cfg.get("max_token", cfg.get("max_token", 20))
-    tok = build_tokenizer(load_cfg.get("use_token_type", "beit3"),
-                          spm_path=cfg.get("tokenizer_spm"))
+    # same tokenizer resolution as the datasets (builder.py:89): the
+    # spm path lives in the pipeline's load op, with the same default —
+    # a mismatched vocab here would silently feed garbage ids into a
+    # model trained with the real beit3.spm
+    tok = build_tokenizer(
+        load_cfg.get("use_token_type", "beit3"),
+        spm_path=load_cfg.get("spm_path",
+                              cfg.get("tokenizer_spm")
+                              or "pretrain_weights/beit3.spm"),
+    )
 
     img = cv2.imread(args.img, cv2.IMREAD_COLOR)
     assert img is not None, args.img

@@ -80,17 +80,34 @@ def main():
     )
     params = load_checkpoint(args.checkpoint,
                              params_template=params)["params"]
-    step = jax.jit(make_eval_step(model))
-
-    attn_fn = None
-    if args.with_attn:
+    if not args.with_attn:
+        step = jax.jit(make_eval_step(model))
+        grid = None
+    else:
         ps = cfg.model.get("vis_enc", {}).get("patch_size", 32)
         grid = img_size // ps
+        from simvg_tpu.models.model import decode_predictions
 
         @jax.jit
-        def attn_fn(params, inputs):
-            _, inter = model.apply(params, **inputs,
-                                   mutable=["intermediates"])
+        def step(params, device_batch):
+            # ONE forward for both predictions and attention maps
+            out, inter = model.apply(
+                params,
+                image=device_batch["image"],
+                text_ids=device_batch["text_ids"],
+                text_padding_mask=device_batch["text_padding_mask"],
+                img_shape=device_batch["img_shape"],
+                deterministic=True,
+                mutable=["intermediates"],
+            )
+            preds = {
+                name: decode_predictions(out[ck][-1], out[bk][-1],
+                                         device_batch["img_shape"])
+                for name, ck, bk in (
+                    ("decoder", "class_decoder", "bbox_decoder"),
+                    ("token", "class_token", "bbox_token"),
+                )
+            }
             dec = inter["intermediates"]["head"]["decoder"]
             # last decoder layer's cross-attention, head-averaged
             # (numeric sort: "layers_10" > "layers_9")
@@ -99,7 +116,8 @@ def main():
                 key=lambda k: int(k.rsplit("_", 1)[-1]),
             )[-1]
             (w,) = dec[last]["cross_attn"]["attn_weights"]  # [B,H,Q,HW]
-            return w.mean(axis=1)  # [B, Q, HW]
+            preds["attn"] = w.mean(axis=1)  # [B, Q, HW]
+            return preds
 
     os.makedirs(args.output_dir, exist_ok=True)
     written = 0
@@ -107,14 +125,8 @@ def main():
         preds = step(params,
                      {k: v for k, v in batch.items() if k != "meta"})
         p_b = preds[args.branch]
-        attn = None
-        if attn_fn is not None:
-            attn = np.asarray(attn_fn(
-                params,
-                {k: batch[k] for k in ("image", "text_ids",
-                                       "text_padding_mask",
-                                       "img_shape")},
-            ))
+        attn = (np.asarray(preds["attn"])
+                if args.with_attn else None)
         for i, meta in enumerate(batch["meta"]):
             if not batch["batch_valid"][i] or written >= args.max_images:
                 continue

@@ -18,6 +18,9 @@ def main():
     p.add_argument("checkpoint")
     p.add_argument("--with-ema", action="store_true",
                    help="also evaluate the EMA weights")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() from "
+                        "the dist_train.sh env contract")
     p.add_argument("--platform", default=None)
     p.add_argument("--cfg-options", nargs="*", default=[])
     args = p.parse_args()
@@ -29,6 +32,16 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.distributed or os.environ.get("COORDINATOR_ADDRESS"):
+        # same contract as tools/train.py (dist_test.sh header)
+        if os.environ.get("COORDINATOR_ADDRESS"):
+            jax.distributed.initialize(
+                coordinator_address=os.environ["COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["NUM_PROCESSES"]),
+                process_id=int(os.environ["PROCESS_ID"]),
+            )
+        else:
+            jax.distributed.initialize()
     import jax.numpy as jnp
 
     from simvg_tpu.config import Config
@@ -86,11 +99,14 @@ def main():
                                     tokenizer=tokenizer, seed=seed,
                                     normalize_on_device=norm_on_device)
         tokenizer = ds.tokenizer
-        # each process loads its dp/pc chips' worth; the global batch
-        # (dp * spg) is assembled below (train.py eval_put semantics)
+        # each process loads its dp/pc chips' worth of ITS shard of the
+        # split (DistributedSampler role); evaluate() allgather-sums
+        # the counters, wrap-pad duplicate batches are flagged invalid
         loaders[s] = build_loader_from_cfg(ds, cfg, train=False,
                                            canvas=img_size, max_gt=max_gt,
                                            seed=seed,
+                                           shard_id=jax.process_index(),
+                                           num_shards=pc,
                                            batch_scale=dp // pc)
 
     first = next(iter(loaders.values()))

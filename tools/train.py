@@ -52,8 +52,17 @@ def main():
     if args.distributed or os.environ.get("COORDINATOR_ADDRESS"):
         # multi-host data parallelism: one process per host over DCN,
         # devices over ICI (replaces torch.distributed.run + NCCL,
-        # SURVEY.md §2.8)
-        jax.distributed.initialize()
+        # SURVEY.md §2.8). jax.distributed.initialize() only
+        # auto-detects on TPU pods/SLURM; the dist_train.sh env
+        # contract must be forwarded explicitly everywhere else.
+        if os.environ.get("COORDINATOR_ADDRESS"):
+            jax.distributed.initialize(
+                coordinator_address=os.environ["COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["NUM_PROCESSES"]),
+                process_id=int(os.environ["PROCESS_ID"]),
+            )
+        else:
+            jax.distributed.initialize()
 
     import jax.numpy as jnp
     import numpy as np
@@ -84,11 +93,18 @@ def main():
     work_dir = args.work_dir or cfg.get("work_dir") or osp.join(
         "work_dir", osp.splitext(osp.basename(args.config))[0]
     )
+    # rank-0-only host writes (the reference's is_main() gating,
+    # utils/distributed.py:17-19): with a shared work_dir, concurrent
+    # ranks would interleave metrics lines and race the checkpoint
+    # tmp-dir swaps
+    is_main = jax.process_index() == 0
     os.makedirs(work_dir, exist_ok=True)
     timestamp = time.strftime("%Y%m%d_%H%M%S")
-    logger = get_root_logger(osp.join(work_dir,
-                                      f"{timestamp}_train_log.txt"))
-    cfg.dump(osp.join(work_dir, "config.py"))
+    logger = get_root_logger(
+        osp.join(work_dir, f"{timestamp}_train_log.txt")
+        if is_main else None)
+    if is_main:
+        cfg.dump(osp.join(work_dir, "config.py"))
     logger.info(f"work_dir: {work_dir}; devices: {jax.devices()}")
 
     # ---- device mesh: ALWAYS created, so a single process drives all
@@ -141,9 +157,13 @@ def main():
                                     tokenizer=train_ds.tokenizer,
                                     seed=seed,
                                     normalize_on_device=norm_on_device)
+        # eval is sharded by process too (DistributedSampler role):
+        # each host evaluates its slice, evaluate() allgather-sums the
+        # counters; wrap-pad duplicate batches are flagged invalid
         val_loaders[split] = build_loader_from_cfg(
             ds, cfg, train=False, canvas=img_size, max_gt=max_gt,
-            seed=seed, batch_scale=dp // pc,
+            seed=seed, shard_id=jax.process_index(), num_shards=pc,
+            batch_scale=dp // pc,
         )
 
     # ---- model
@@ -212,6 +232,7 @@ def main():
     # CLI flags take precedence; config keys (reference _base_/misc.py)
     # are the fallback so two-stage configs' load_from works untouched
     args.resume_from = args.resume_from or cfg.get("resume_from")
+    resumed_best = -1.0  # overwritten when resuming (best_det_acc)
     args.load_from = args.load_from or cfg.get("load_from")
     args.finetune_from = args.finetune_from or cfg.get("finetune_from")
     for attr in ("load_from", "finetune_from"):
@@ -248,6 +269,10 @@ def main():
                 else resumed_step, jnp.int32),
         )
         start_epoch = ck["epoch"]
+        # restore the best-checkpoint tracker too, or crash recovery
+        # could overwrite det_best with a worse post-resume eval
+        resumed_best = float(
+            (ck.get("metrics") or {}).get("best_det_acc", -1.0))
         logger.info(f"resumed from {args.resume_from} @ epoch "
                     f"{start_epoch}")
     elif args.load_from:
@@ -301,30 +326,32 @@ def main():
     log_interval = cfg.get("log_interval", 50)
     evaluate_interval = cfg.get("evaluate_interval", 1)
     start_eval = cfg.get("start_evaluate_epoch", 0)
-    best_acc = -1.0
+    best_acc = resumed_best
     step_rng = jax.random.PRNGKey(seed + 1)
 
     import json as _json
 
-    from simvg_tpu.engine.train_state import (
-        cosine_annealing_lr,
-        multistep_lr_warmup,
-    )
+    from simvg_tpu.engine.train_state import make_lr_schedule
 
-    if sch_cfg.get("type", "MultiStepLRWarmUp") == "MultiStepLRWarmUp":
-        _lr_sched = multistep_lr_warmup(
-            lr, steps_per_epoch, sch_cfg.get("warmup_epochs", 3),
-            tuple(sch_cfg.get("decay_steps", (25,))),
-            sch_cfg.get("decay_ratio", 0.1))
-    else:
-        _lr_sched = cosine_annealing_lr(
-            lr, steps_per_epoch, sch_cfg.get("T_max", max_epoch))
+    # the SAME schedule builder create_optimizer uses, so the logged lr
+    # always matches what the optimizer applies (incl. warm restarts)
+    _lr_sched = make_lr_schedule(
+        lr, steps_per_epoch,
+        scheduler_type=sch_cfg.get("type", "MultiStepLRWarmUp"),
+        warmup_epochs=sch_cfg.get("warmup_epochs", 3),
+        decay_steps=tuple(sch_cfg.get("decay_steps", (25,))),
+        decay_ratio=sch_cfg.get("decay_ratio", 0.1),
+        scheduler_kw={k: v for k, v in sch_cfg.items()
+                      if k in ("T_max", "eta_min", "T_0", "T_mult")},
+    )
 
     metrics_path = osp.join(work_dir, "metrics.jsonl")
 
     def emit_metrics(kind, payload):
         """Structured metric stream (observability; replaces the
-        reference's unused wandb dependency)."""
+        reference's unused wandb dependency). Rank-0 only."""
+        if not is_main:
+            return
         with open(metrics_path, "a") as f:
             f.write(_json.dumps({"kind": kind, **payload}) + "\n")
 
@@ -385,12 +412,16 @@ def main():
                 if is_grec and preds is not None:
                     # train-time GRec metrics on host
                     # (apis/train.py:104-140 equivalent)
+                    from simvg_tpu.engine.evaluate import _local_rows
                     from simvg_tpu.engine.metrics import grec_f1_nacc
 
                     for bname in ("decoder", "token"):
                         p = preds[bname]
-                        boxes = np.asarray(p["boxes"])
-                        scores = np.asarray(p["scores"])
+                        # multi-host: only this process's shard rows are
+                        # addressable; they correspond 1:1 to the local
+                        # batch["meta"] enumerated below
+                        boxes = _local_rows(p["boxes"])
+                        scores = _local_rows(p["scores"])
                         gb, sc_l, gts, tgts = [], [], [], []
                         for i, m in enumerate(batch["meta"]):
                             gb.append(boxes[i])
