@@ -63,3 +63,25 @@ def test_inference_cli_writes_boxes_and_attention(smoke_ckpt, tmp_path):
     attns = [f for f in files if f.endswith("_attn.jpg")]
     assert len(boxes) == 3 and len(attns) == 3, files
     assert all(os.path.getsize(out / f) > 0 for f in files)
+
+
+def test_test_cli_multi_split_eval(smoke_ckpt, tmp_path):
+    """tools/test.py end-to-end: multi-split eval from a checkpoint
+    (reference tools/test.py:20-134), with EMA absent (ema=False run)."""
+    root, ckpt = smoke_ckpt
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [
+        sys.executable, "tools/test.py",
+        "configs/smoke/tiny_synth.py", ckpt, "--platform", "cpu",
+        "--cfg-options",
+        f"data.train.annsfile={root}/instances.json",
+        f"data.train.imgsfile={root}/images",
+        f"data.val.annsfile={root}/instances.json",
+        f"data.val.imgsfile={root}/images",
+    ]
+    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "[val]" in proc.stderr or "[val]" in proc.stdout, (
+        proc.stdout[-500:], proc.stderr[-500:])
