@@ -20,7 +20,8 @@ TPU-friendly host loader:
 Batch dict (numpy): image [B,H,W,3] f32, text_ids [B,T] i32,
 text_padding_mask [B,T] i32, img_shape [B,2] i32, scale_factor [B,4]
 f32, gt_boxes [B,max_gt,4] f32, gt_labels [B,max_gt] i32,
-gt_valid [B,max_gt] bool, batch_valid [B] bool (False = wrap-padding in
+gt_valid [B,max_gt] bool, gt_count [B] i32 (untruncated object-GT
+count, feeds the loss num_boxes), batch_valid [B] bool (False = wrap-padding in
 the final eval batch), meta: list of per-sample dicts (expression,
 filename, target, ori_shape).
 """
@@ -51,6 +52,7 @@ def collate(samples: List[dict], canvas: int, max_gt: int = 1,
     gt_boxes = np.zeros((b, max_gt, 4), np.float32)
     gt_labels = np.zeros((b, max_gt), np.int32)
     gt_valid = np.zeros((b, max_gt), bool)
+    gt_count = np.zeros((b,), np.int32)
     meta = []
 
     for i, s in enumerate(samples):
@@ -67,6 +69,19 @@ def collate(samples: List[dict], canvas: int, max_gt: int = 1,
         if gb is not None:
             boxes = gb if isinstance(gb, list) else [gb]
             target = s.get("target")
+            # UNTRUNCATED object-GT count: the reference's loss
+            # normalisation num_boxes counts the FULL target list
+            # (after dropping GRec no-target rows), even when it
+            # exceeds num_queries (simvg/core/criterion/
+            # criterion.py:244-249 over prepare_soft_targets output,
+            # tgqs_kd_detr_head.py:222-231); the device arrays below
+            # stay truncated to max_gt for the matcher's static shapes.
+            if target is not None:
+                gt_count[i] = sum(
+                    1 for tt in target if tt.get("category_id") != -1
+                )
+            else:
+                gt_count[i] = len(boxes)
             for j, bb in enumerate(boxes[:max_gt]):
                 gt_boxes[i, j] = bb
                 gt_valid[i, j] = True
@@ -116,6 +131,7 @@ def collate(samples: List[dict], canvas: int, max_gt: int = 1,
         "gt_boxes": gt_boxes,
         "gt_labels": gt_labels,
         "gt_valid": gt_valid,
+        "gt_count": gt_count,
         "batch_valid": np.asarray(
             valid if valid is not None else [True] * b, bool
         ),

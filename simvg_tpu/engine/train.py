@@ -107,6 +107,10 @@ def make_train_step(
                 distill_type=distill_type,
                 mlp_aux_loss=mlp_aux_loss,
                 dp_size=dp_size,
+                # untruncated object-GT counts: reference num_boxes
+                # counts the full target list even past num_queries
+                # (criterion.py:244-249)
+                gt_count=batch.get("gt_count"),
             )
             return losses["loss_total"], (losses, out)
 

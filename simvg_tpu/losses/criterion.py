@@ -235,6 +235,7 @@ def set_criterion(
     loss_class_type: str = "ce_loss",
     dp_size: int = 1,
     weight_dict: Optional[Dict[str, float]] = None,
+    gt_count: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """SetCriterion forward incl. aux losses (criterion.py:226-271) with
     the head's weight_dict applied (calc_loss,
@@ -243,13 +244,23 @@ def set_criterion(
     Every decoder layer is re-matched independently, exactly like the
     reference's aux loop.  Returns {"loss_class", "loss_bbox",
     "loss_giou", ..._i} already weight-scaled, plus "total".
+
+    gt_count: optional [B] UNTRUNCATED per-sample object-GT counts.
+    When targets were truncated to num_queries (GRefCOCO images with
+    more targets than queries), the reference's num_boxes still counts
+    the full ragged target list (criterion.py:244-249) even though its
+    matcher can only pair num_queries of them — pass the untruncated
+    counts here to reproduce that normalisation.
     """
     if weight_dict is None:
         weight_dict = {"loss_class": 1.0, "loss_bbox": 5.0,
                        "loss_giou": 2.0}
     num_layers = all_logits.shape[0]
 
-    count = targets.valid.sum().astype(jnp.float32)
+    if gt_count is not None:
+        count = gt_count.astype(jnp.float32).sum()
+    else:
+        count = targets.valid.sum().astype(jnp.float32)
     # Equivalent to the reference's clamp(all_reduce(count)/world, 1)
     # divided per-rank then DDP-averaged; see module docstring.
     num_boxes = jnp.maximum(count, float(dp_size))
@@ -392,12 +403,18 @@ def simvg_branch_losses(
     mlp_aux_loss: bool = False,
     as_target_query_thr: float = 0.0,
     dp_size: int = 1,
+    gt_count: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Branch loss orchestration (forward_train,
     tgqs_kd_detr_head.py:456-572).
 
     Supported branch_loss_weight keys: "decoder", "balanced_distill"
     ({"token": w, "distill": w}), "token", "distill".
+
+    gt_count: optional [B] untruncated object-GT counts — feeds the
+    num_boxes of every GT-target criterion call (see set_criterion);
+    distill targets keep their own matched counts (the reference counts
+    len(targets_pred) for those calls).
     """
     losses: Dict[str, jnp.ndarray] = {}
     total = 0.0
@@ -418,9 +435,10 @@ def simvg_branch_losses(
     box_tok = head_out["bbox_token"]
 
     kw = dict(num_classes=num_classes, eos_coef=eos_coef, dp_size=dp_size)
+    kw_gt = dict(kw, gt_count=gt_count)
 
     if "decoder" in branch_loss_weight:
-        d = set_criterion(cls_dec, box_dec, targets_gt, **kw)
+        d = set_criterion(cls_dec, box_dec, targets_gt, **kw_gt)
         loss_dgt = branch_loss_weight["decoder"] * d["total"]
         losses["loss_dgt"] = loss_dgt
         total = total + loss_dgt
@@ -440,7 +458,7 @@ def simvg_branch_losses(
             prepare_target_mode=prepare_target_mode,
             predict_threshold=as_target_query_thr,
         )
-        t = set_criterion(cls_tok_, box_tok_, targets_gt, **kw)
+        t = set_criterion(cls_tok_, box_tok_, targets_gt, **kw_gt)
         loss_tgt = bw["token"] * t["total"] * (1.0 - wd)
         losses["loss_tgt"] = loss_tgt
 
@@ -451,7 +469,7 @@ def simvg_branch_losses(
         total = total + loss_tgt + loss_kd
     else:
         if "token" in branch_loss_weight:
-            t = set_criterion(cls_tok_, box_tok_, targets_gt, **kw)
+            t = set_criterion(cls_tok_, box_tok_, targets_gt, **kw_gt)
             loss_tgt = branch_loss_weight["token"] * t["total"]
             losses["loss_tgt"] = loss_tgt
             total = total + loss_tgt

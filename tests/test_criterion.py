@@ -369,3 +369,86 @@ def test_score_weighted_wd_divides_by_full_bq():
                                   predict_threshold=0.6)
     # nothing above threshold: mean over B*Q of zeros = 0
     np.testing.assert_allclose(float(wd2), 0.0, atol=1e-7)
+
+
+def test_num_boxes_counts_untruncated_gt():
+    """A 12-GT/10-query sample must normalise box losses by the FULL GT
+    count (reference num_boxes sums len(t["labels"]) over the ragged,
+    untruncated target lists, criterion.py:244-249) even though the
+    matcher only pairs num_queries of them.  Hand-computed denominator:
+    sum(|dx|*4)=10*0.04 -> loss_bbox = 5 * 0.4 / 12."""
+    q, t_pad, full = 10, 10, 12
+    # queries sit exactly on the 10 kept targets, offset by 0.01 in every
+    # coordinate -> identity match, per-pair L1 = 0.04
+    cx = np.linspace(0.1, 0.9, q, dtype=np.float32)
+    tgt_boxes = np.stack(
+        [cx, np.full(q, 0.5, np.float32), np.full(q, 0.05, np.float32),
+         np.full(q, 0.05, np.float32)], -1)
+    boxes = (tgt_boxes + 0.01)[None, None]  # [L=1, B=1, Q, 4]
+    logits = np.zeros((1, 1, q, 2), np.float32)
+    logits[..., 0] = 4.0  # confident object class
+    targets = Targets(
+        labels=jnp.zeros((1, t_pad), jnp.int32),
+        boxes=jnp.asarray(tgt_boxes[None]),
+        valid=jnp.ones((1, t_pad), bool),
+        weight=jnp.ones((1, t_pad), jnp.float32),
+    )
+    base = set_criterion(jnp.asarray(logits), jnp.asarray(boxes), targets)
+    fixed = set_criterion(jnp.asarray(logits), jnp.asarray(boxes),
+                          targets,
+                          gt_count=jnp.asarray([full], jnp.int32))
+    # hand-computed reference value: 5 * (10 pairs * 4 coords * 0.01)/12
+    np.testing.assert_allclose(float(fixed["loss_bbox"]),
+                               5.0 * 10 * 4 * 0.01 / full, rtol=1e-5)
+    # red/green: without gt_count the denominator is the truncated 10
+    np.testing.assert_allclose(float(base["loss_bbox"]),
+                               5.0 * 10 * 4 * 0.01 / t_pad, rtol=1e-5)
+    # giou scales by the same ratio; the CE term ignores num_boxes
+    np.testing.assert_allclose(float(fixed["loss_giou"]),
+                               float(base["loss_giou"]) * t_pad / full,
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(fixed["loss_class"]),
+                               float(base["loss_class"]), rtol=1e-6)
+    # plumbed through the branch orchestrator (decoder branch)
+    head_out = {
+        "class_decoder": jnp.asarray(logits),
+        "bbox_decoder": jnp.asarray(boxes),
+        "class_token": jnp.asarray(logits),
+        "bbox_token": jnp.asarray(boxes),
+    }
+    bl = simvg_branch_losses(head_out, targets,
+                             branch_loss_weight={"decoder": 1.0},
+                             gt_count=jnp.asarray([full], jnp.int32))
+    d = set_criterion(jnp.asarray(logits), jnp.asarray(boxes), targets,
+                      gt_count=jnp.asarray([full], jnp.int32))
+    np.testing.assert_allclose(float(bl["loss_dgt"]), float(d["total"]),
+                               rtol=1e-6)
+
+
+def test_collate_gt_count_untruncated():
+    """collate() carries the untruncated object-GT count while the
+    device arrays stay truncated to max_gt; GRec no-target rows
+    (category_id == -1) are excluded (reference drops them before any
+    loss, tgqs_kd_detr_head.py:222-231)."""
+    from simvg_tpu.data.loader import collate
+
+    def sample(n_boxes, categories=None):
+        s = {
+            "img": np.zeros((8, 8, 3), np.float32),
+            "img_shape": (8, 8),
+            "ref_expr_inds": np.zeros(4, np.int32),
+            "text_attention_mask": np.zeros(4, np.int32),
+            "gt_bbox": [np.asarray([0, 0, 4, 4], np.float32)] * n_boxes,
+        }
+        if categories is not None:
+            s["target"] = [{"category_id": c} for c in categories]
+        return s
+
+    batch = collate(
+        [sample(12, categories=[0] * 12),          # truncated to max_gt
+         sample(1, categories=[-1]),               # GRec no-target
+         sample(1)],                               # plain RefCOCO
+        canvas=8, max_gt=10)
+    np.testing.assert_array_equal(batch["gt_count"], [12, 0, 1])
+    assert batch["gt_boxes"].shape == (3, 10, 4)
+    assert batch["gt_valid"][0].sum() == 10
