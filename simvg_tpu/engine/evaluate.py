@@ -59,8 +59,11 @@ def evaluate(
     multi-host) before the jitted step."""
     step = eval_step or jax.jit(make_eval_step(model))
 
+    _MASK_THRS = (0.5, 0.6, 0.7, 0.8, 0.9)
     acc: Dict[str, Dict] = {
         b: {"iou_hits": 0, "iou_sum": 0.0, "n": 0,
+            "mask": {"iou_sum": 0.0,
+                     "hits": np.zeros(len(_MASK_THRS)), "n": 0},
             "grec": {"boxes": [], "scores": [], "gts": [], "targets": []}}
         for b in ("decoder", "token")
     }
@@ -87,6 +90,35 @@ def evaluate(
                 a["iou_hits"] += m["det_acc"] / 100.0 * m["n"]
                 a["iou_sum"] += m["miou"] / 100.0 * m["n"]
                 a["n"] += m["n"]
+                # mask mIoU path (reference accuracy() eval_mask,
+                # simvg/apis/test.py:81-88, 234-250): when a model
+                # emits per-image masks and the dataset carries GT RLE,
+                # accumulate aligned mask IoU + acc@thresholds.
+                pm = p.get("pred_masks")
+                if pm is not None:
+                    from simvg_tpu.ops import rle as rle_ops
+
+                    pm_rows = (pm if isinstance(pm, (list, tuple))
+                               else _local_rows(pm))
+                    for i in range(len(valid)):
+                        if not valid[i]:
+                            continue
+                        meta_i = batch["meta"][i]
+                        gtr = meta_i.get("gt_mask_rle")
+                        pr = pm_rows[i]
+                        if gtr is None or pr is None:
+                            continue
+                        if not isinstance(pr, dict):
+                            pr = rle_ops.encode(
+                                np.asarray(pr, np.uint8))
+                        crowd = [int(meta_i.get("is_crowd") or 0)]
+                        iou = float(
+                            rle_ops.iou([pr], [gtr], crowd)[0, 0])
+                        mk = a["mask"]
+                        mk["iou_sum"] += iou
+                        mk["hits"] += np.asarray(
+                            [iou >= t for t in _MASK_THRS], float)
+                        mk["n"] += 1
             else:
                 g = acc[branch]["grec"]
                 boxes = _local_rows(p["boxes"])
@@ -134,7 +166,23 @@ def evaluate(
             out[f"{b}_miou"] = iou_sum / n * 100.0
         out["det_acc"] = (out["decoder_det_acc"]
                           + out["token_det_acc"]) / 2.0
-        out["miou"] = 0.0
+        # summary miou = mask mIoU when masks were evaluated (the
+        # reference's returned miou is the MASK IoU; it stays 0 for
+        # box-only models, apis/test.py:234-250)
+        mask_mious = []
+        for b in ("decoder", "token"):
+            mk = acc[b]["mask"]
+            iou_sum, hits, n = mk["iou_sum"], mk["hits"], float(mk["n"])
+            if multi:
+                agg = _allgather_sum(np.concatenate(
+                    [[iou_sum, n], hits]).astype(np.float64))
+                iou_sum, n, hits = agg[0], agg[1], agg[2:]
+            if n > 0:
+                out[f"{b}_mask_miou"] = iou_sum / n * 100.0
+                for t, h in zip(_MASK_THRS, hits):
+                    out[f"{b}_mask_acc@{t}"] = h / n * 100.0
+                mask_mious.append(out[f"{b}_mask_miou"])
+        out["miou"] = float(np.mean(mask_mious)) if mask_mious else 0.0
     else:
         f1s, naccs = [], []
         for b in ("decoder", "token"):
