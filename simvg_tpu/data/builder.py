@@ -89,6 +89,11 @@ def build_dataset_from_cfg(split_cfg: Dict[str, Any], *,
         spm_path=load_cfg.get("spm_path", "pretrain_weights/beit3.spm"),
         corpus_path=load_cfg.get("corpus_path"),
         seed=seed,
+        # opt-in reference-sampling parity (global-RNG expression draw,
+        # loading.py:108): either on the load op or at the split level
+        expr_sampling=split_cfg.pop(
+            "expr_sampling",
+            load_cfg.get("expr_sampling", "deterministic")),
     )
 
 

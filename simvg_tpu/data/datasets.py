@@ -85,6 +85,7 @@ class BaseDataset:
         spm_path: str = "pretrain_weights/beit3.spm",
         corpus_path: Optional[str] = None,
         seed: int = 6666,
+        expr_sampling: str = "deterministic",
     ):
         assert which_set in VALID_SETS, which_set
         self.which_set = which_set
@@ -117,6 +118,16 @@ class BaseDataset:
         self.tokenizer = tokenizer
         self.num_token = tokenizer.vocab_size
 
+        # "deterministic" (default): expression draw is a pure function
+        # of (seed, epoch, index).  "global_rng": reference-parity mode —
+        # np.random.choice on the GLOBAL numpy stream, exactly like
+        # loading.py:108, so a single-worker eval reproduces the
+        # reference's sampling for published-number parity (seed the
+        # stream with np.random.seed(cfg.seed) first; draw order follows
+        # iteration order, so use workers_per_gpu=1 for strict parity).
+        assert expr_sampling in ("deterministic", "global_rng"), \
+            expr_sampling
+        self.expr_sampling = expr_sampling
         self.pipeline = Compose(transforms or [])
         self.seed = seed
         self.epoch = 0  # set by DataLoader.set_epoch for per-epoch
@@ -167,10 +178,14 @@ class BaseDataset:
         # it is reproducible under any thread interleaving and eval
         # (epoch pinned to 0) is exactly repeatable.
         exprs = ann["expressions"]
-        expr_rng = np.random.default_rng(
-            (self.seed, self.epoch, index)
-        )
-        expr_idx = int(expr_rng.integers(0, len(exprs)))
+        if self.expr_sampling == "global_rng":
+            # reference-parity draw (loading.py:108)
+            expr_idx = int(np.random.choice(len(exprs)))
+        else:
+            expr_rng = np.random.default_rng(
+                (self.seed, self.epoch, index)
+            )
+            expr_idx = int(expr_rng.integers(0, len(exprs)))
         # deterministic augmentation stream for this (epoch, sample)
         s["aug_rng"] = random.Random(
             f"{self.seed}/{self.epoch}/{index}/aug"

@@ -363,3 +363,57 @@ def test_corpus_tokenizer_mode(tmp_path):
     np.testing.assert_array_equal(ids, [2, 3, 1, 0, 0])
     np.testing.assert_array_equal(mask, [0, 0, 0, 1, 1])  # 1 = PAD
     assert tok.vocab_size == 4
+
+
+def test_expr_sampling_global_rng_parity_mode(tmp_path):
+    """Opt-in reference-sampling mode (VERDICT r2 #7): expression draw
+    comes from the GLOBAL numpy stream exactly like the reference's
+    np.random.choice (loading.py:108), is plumbed from the config dict,
+    and differs from the default deterministic draw."""
+    import numpy as np
+    from util_synth import make_refcoco_style
+    from simvg_tpu.data.builder import build_dataset_from_cfg
+
+    root = str(tmp_path / "synth")
+    make_refcoco_style(root, n_train=6, n_val=2)
+
+    def cfg(extra):
+        c = {
+            "annsfile": f"{root}/instances.json",
+            "imgsfile": f"{root}/images",
+            "which_set": "train",
+            "pipeline": [
+                {"type": "LoadImageAnnotationsFromFile", "max_token": 8,
+                 "use_token_type": "default", "dataset": "RefCOCOUNC"},
+            ],
+        }
+        c.update(extra)
+        return c
+
+    ds_det = build_dataset_from_cfg(cfg({}), dataset_type="RefCOCOUNC")
+    ds_ref = build_dataset_from_cfg(cfg({"expr_sampling": "global_rng"}),
+                                    dataset_type="RefCOCOUNC")
+    assert ds_det.expr_sampling == "deterministic"
+    assert ds_ref.expr_sampling == "global_rng"
+
+    # the global-RNG draw replays the reference stream exactly
+    np.random.seed(6666)
+    got = [ds_ref[i]["expression"] for i in range(len(ds_ref))]
+    np.random.seed(6666)
+    exprs = ds_ref.anns_all["train"]
+    want = [a["expressions"][int(np.random.choice(len(a["expressions"])))]
+            for a in exprs]
+    assert got == want
+
+    # and it actually consumes the stream: a different seed can change
+    # the sequence, while the deterministic mode never does
+    det1 = [ds_det[i]["expression"] for i in range(len(ds_det))]
+    np.random.seed(1)
+    det2 = [ds_det[i]["expression"] for i in range(len(ds_det))]
+    assert det1 == det2
+    seqs = set()
+    for s in range(30):
+        np.random.seed(s)
+        seqs.add(tuple(ds_ref[i]["expression"]
+                       for i in range(len(ds_ref))))
+    assert len(seqs) > 1, "global_rng mode ignored the global stream"
