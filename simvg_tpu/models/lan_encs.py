@@ -62,17 +62,27 @@ class GRU(nn.Module):
 
 class BERTLanguageEncoder(nn.Module):
     """"ALBERTA"-style HF transformer language encoder
-    (simvg/models/lan_encs/bert.py): a small pre-LN transformer over
-    subword ids.  The reference wraps HF roberta (torch); here the same
-    role is filled by a native flax encoder so the whole model stays one
-    jit-compiled program (weights can be converted from any HF BERT-like
-    checkpoint with the standard Linear/LN mapping)."""
+    (simvg/models/lan_encs/bert.py wraps HF ``AutoModel`` roberta-base).
+
+    The layout is the HF BERT/roberta POST-LN architecture exactly
+    (residual add *then* LayerNorm, eps 1e-12, exact GELU), so released
+    HF checkpoints convert weight-for-weight
+    (tools/convert_checkpoint.py ``convert_hf_bert``):
+
+    - embeddings: word + position(arange + position_offset) -> LN.
+      roberta's token_type row 0 (added uniformly to every position by
+      HF) is folded into the position table by the converter.
+    - position_offset: roberta numbers positions from padding_idx+1 = 2
+      for pad-at-end sequences (create_position_ids_from_input_ids);
+      BERT uses 0.
+    """
 
     vocab_size: int = 30522
     hidden_size: int = 256
     num_layers: int = 3
     num_heads: int = 8
     max_positions: int = 512
+    position_offset: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -80,6 +90,7 @@ class BERTLanguageEncoder(nn.Module):
         from simvg_tpu.ops.attention import multihead_attention
 
         dd = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        ln = dict(epsilon=1e-12, dtype=jnp.float32)
         if padding_mask is None:
             padding_mask = (ids == 0).astype(jnp.int32)
         x = nn.Embed(self.vocab_size, self.hidden_size,
@@ -88,24 +99,24 @@ class BERTLanguageEncoder(nn.Module):
         pos = nn.Embed(self.max_positions, self.hidden_size,
                        param_dtype=jnp.float32, dtype=self.dtype,
                        name="position_embeddings")(
-            jnp.arange(ids.shape[1]))
-        x = nn.LayerNorm(dtype=jnp.float32, name="embeddings_ln")(
+            jnp.arange(ids.shape[1]) + self.position_offset)
+        x = nn.LayerNorm(name="embeddings_ln", **ln)(
             x + pos).astype(self.dtype)
         for i in range(self.num_layers):
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"ln1_{i}")(
-                x).astype(self.dtype)
-            q = nn.Dense(self.hidden_size, name=f"q_{i}", **dd)(h)
-            k = nn.Dense(self.hidden_size, name=f"k_{i}", **dd)(h)
-            v = nn.Dense(self.hidden_size, name=f"v_{i}", **dd)(h)
+            q = nn.Dense(self.hidden_size, name=f"q_{i}", **dd)(x)
+            k = nn.Dense(self.hidden_size, name=f"k_{i}", **dd)(x)
+            v = nn.Dense(self.hidden_size, name=f"v_{i}", **dd)(x)
             a = multihead_attention(q, k, v, num_heads=self.num_heads,
                                     key_padding_mask=padding_mask,
                                     dtype=self.dtype)
-            x = x + nn.Dense(self.hidden_size, name=f"o_{i}", **dd)(a)
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"ln2_{i}")(
-                x).astype(self.dtype)
-            h = nn.Dense(4 * self.hidden_size, name=f"fc1_{i}", **dd)(h)
-            h = nn.gelu(h)
-            x = x + nn.Dense(self.hidden_size, name=f"fc2_{i}", **dd)(h)
+            h = nn.Dense(self.hidden_size, name=f"o_{i}", **dd)(a)
+            x = nn.LayerNorm(name=f"attn_ln_{i}", **ln)(
+                x + h).astype(self.dtype)
+            h = nn.Dense(4 * self.hidden_size, name=f"fc1_{i}", **dd)(x)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dense(self.hidden_size, name=f"fc2_{i}", **dd)(h)
+            x = nn.LayerNorm(name=f"ffn_ln_{i}", **ln)(
+                x + h).astype(self.dtype)
         return {"text_feat": x, "text_mask": padding_mask.astype(bool)}
 
 

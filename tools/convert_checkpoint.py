@@ -316,6 +316,83 @@ def convert_simvg_full(sd: Dict[str, np.ndarray], params: Dict,
 
 # ------------------------------------------------------------- loading
 
+# --------------------------------------------- HF BERT/roberta lan_enc
+
+def convert_hf_bert(sd: Dict[str, np.ndarray], params: Dict,
+                    out_prefix: str = "lan_enc", logger=None) -> list:
+    """HF BERT/roberta state dict -> BERTLanguageEncoder params.
+
+    The reference's ALBERTA lan_enc is HF ``AutoModel`` roberta-base
+    (simvg/models/lan_encs/bert.py:35); our encoder replicates the HF
+    post-LN layout so the mapping is weight-for-weight:
+
+    - ``embeddings.{word,position}_embeddings`` -> Embed tables; the
+      token_type row 0 (added uniformly to every position by HF when
+      token_type_ids are all zero) is folded into the position table;
+    - per layer: attention.self.{query,key,value} -> q/k/v,
+      attention.output.dense -> o, attention.output.LayerNorm ->
+      attn_ln, intermediate/output.dense -> fc1/fc2, output.LayerNorm
+      -> ffn_ln (torch Linear weights transposed to flax kernels).
+    """
+    for model_prefix in ("roberta.", "bert."):
+        if any(k.startswith(model_prefix + "embeddings.") for k in sd):
+            sd = {k[len(model_prefix):]: v for k, v in sd.items()
+                  if k.startswith(model_prefix)}
+            break
+    report: list = []
+    p = (out_prefix + "/") if out_prefix else ""
+
+    pos = np.asarray(sd["embeddings.position_embeddings.weight"],
+                     np.float32).copy()
+    tt = sd.get("embeddings.token_type_embeddings.weight")
+    if tt is not None:
+        pos = pos + np.asarray(tt, np.float32)[0]
+    _set(params, p + "word_embeddings/embedding",
+         np.asarray(sd["embeddings.word_embeddings.weight"]), report)
+    _set(params, p + "position_embeddings/embedding", pos, report)
+    _set(params, p + "embeddings_ln/scale",
+         np.asarray(sd["embeddings.LayerNorm.weight"]), report)
+    _set(params, p + "embeddings_ln/bias",
+         np.asarray(sd["embeddings.LayerNorm.bias"]), report)
+
+    i = 0
+    while f"encoder.layer.{i}.attention.self.query.weight" in sd:
+        L = f"encoder.layer.{i}."
+        for src, dst in (
+            ("attention.self.query", f"q_{i}"),
+            ("attention.self.key", f"k_{i}"),
+            ("attention.self.value", f"v_{i}"),
+            ("attention.output.dense", f"o_{i}"),
+            ("intermediate.dense", f"fc1_{i}"),
+            ("output.dense", f"fc2_{i}"),
+        ):
+            _set(params, p + dst + "/kernel", _t(sd[L + src + ".weight"]),
+                 report)
+            _set(params, p + dst + "/bias",
+                 np.asarray(sd[L + src + ".bias"]), report)
+        for src, dst in (
+            ("attention.output.LayerNorm", f"attn_ln_{i}"),
+            ("output.LayerNorm", f"ffn_ln_{i}"),
+        ):
+            _set(params, p + dst + "/scale",
+                 np.asarray(sd[L + src + ".weight"]), report)
+            _set(params, p + dst + "/bias",
+                 np.asarray(sd[L + src + ".bias"]), report)
+        i += 1
+
+    node = params["params"]
+    for part in (out_prefix.split("/") if out_prefix else []):
+        node = node[part]
+    n_target = sum(1 for k in node if k.startswith("q_"))
+    if i != n_target:
+        raise ValueError(
+            f"HF checkpoint has {i} layers, encoder expects {n_target}")
+    if logger:
+        logger.info(f"converted {len(report)} HF-BERT tensors "
+                    f"({i} layers)")
+    return report
+
+
 def _torch_load(path: str) -> Dict[str, np.ndarray]:
     import torch
 
@@ -346,6 +423,9 @@ def load_pretrained_into_params(params, path: str, logger=None):
     sd = _torch_load(path)
     if any(k.startswith("vis_enc.") for k in sd):
         convert_simvg_full(sd, params, logger=logger)
+    elif any("embeddings.word_embeddings.weight" in k for k in sd):
+        # HF BERT/roberta checkpoint for the legacy ALBERTA lan_enc
+        convert_hf_bert(sd, params, logger=logger)
     else:
         convert_beit3_encoder(sd, params, logger=logger)
 
