@@ -3,7 +3,13 @@
 
 PY := python
 
-.PHONY: test smoke bench dryrun synth clean
+.PHONY: test smoke bench dryrun synth parity clean
+
+# Released-weight parity gate: fails fast listing missing assets; runs
+# spm golden check + .pth conversion + tools/test.py eval when mounted.
+# Override SIMVG_CKPT/SPM/ANNS/IMGS/CONFIG/EXPECT via env.
+parity:
+	bash tools/parity_gate.sh
 
 test:
 	$(PY) -m pytest tests/ -x -q
