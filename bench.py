@@ -155,6 +155,95 @@ def bench_train_step(model, batch, iters=8):
     return b * iters / dt
 
 
+def crosscheck_pallas_vs_xla(batch, train_batch):
+    """On-device numerical cross-check of the fused Pallas attention
+    against the XLA path (VERDICT r2 weak #1): the Pallas kernel is the
+    flagship default but CI can only run it in interpret mode — Mosaic
+    compilation on the real chip is a different code path.  Runs one
+    flagship forward AND one grad step through both impls with shared
+    params and returns the max-abs diffs; raises if they exceed
+    tolerance so a silent on-device miscompile fails the bench loudly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from simvg_tpu.models import SimVGModel, SimVGConfig
+    from simvg_tpu.models.beit3 import BEiT3Config
+    from simvg_tpu.models.heads.tgqs_head import TGQSHeadConfig
+
+    def flagship(impl, scan=False, remat=False):
+        return SimVGModel(SimVGConfig(
+            beit3=BEiT3Config.base(img_size=640, patch_size=32,
+                                   dtype=jnp.bfloat16, attn_impl=impl,
+                                   scan_layers=scan, remat=remat),
+            head=TGQSHeadConfig(in_channels=768, dtype=jnp.bfloat16),
+        ))
+
+    out_keys = ("class_decoder", "bbox_decoder", "class_token",
+                "bbox_token")
+
+    # ---- forward: inference path (non-scan, the bench primary)
+    params = _random_params(flagship("xla"), batch)
+    fwd = {}
+    for impl in ("pallas", "xla"):
+        m = flagship(impl)
+
+        @jax.jit
+        def f(p, image, text_ids, text_padding_mask, img_shape, m=m):
+            return m.apply(p, image=image, text_ids=text_ids,
+                           text_padding_mask=text_padding_mask,
+                           img_shape=img_shape, deterministic=True)
+
+        fwd[impl] = {k: np.asarray(v, np.float32) for k, v in f(
+            params, batch["image"], batch["text_ids"],
+            batch["text_padding_mask"], batch["img_shape"]).items()
+            if k in out_keys}
+    fwd_diff = max(float(np.abs(fwd["pallas"][k] - fwd["xla"][k]).max())
+                   for k in out_keys)
+
+    # ---- one grad step: train layout (scan + remat), custom-VJP bwd
+    grad_params = _random_params(flagship("xla", scan=True, remat=True),
+                                 train_batch)
+    gdiff, gscale = 0.0, 0.0
+    grads = {}
+    for impl in ("pallas", "xla"):
+        m = flagship(impl, scan=True, remat=True)
+
+        @jax.jit
+        def g(p, image, text_ids, text_padding_mask, img_shape, m=m):
+            def loss(p):
+                o = m.apply(p, image=image, text_ids=text_ids,
+                            text_padding_mask=text_padding_mask,
+                            img_shape=img_shape, deterministic=True)
+                return sum(jnp.mean(jnp.abs(o[k].astype(jnp.float32)))
+                           for k in out_keys)
+
+            return jax.grad(loss)(p)
+
+        grads[impl] = jax.tree.map(
+            lambda x: np.asarray(x, np.float32),
+            g(grad_params, train_batch["image"], train_batch["text_ids"],
+              train_batch["text_padding_mask"],
+              train_batch["img_shape"]))
+    for a, b in zip(jax.tree.leaves(grads["pallas"]),
+                    jax.tree.leaves(grads["xla"])):
+        gdiff = max(gdiff, float(np.abs(a - b).max()))
+        gscale = max(gscale, float(np.abs(b).max()))
+    grad_rel = gdiff / max(gscale, 1e-12)
+
+    result = {
+        "pallas_vs_xla_max_abs": round(fwd_diff, 6),
+        "pallas_vs_xla_grad_max_abs": round(gdiff, 6),
+        "pallas_vs_xla_grad_rel": round(grad_rel, 6),
+    }
+    # bf16 forward at dim 768 / 12 layers: genuine impl-order noise is
+    # well under 1e-2 on logits/boxes; a miscompile is orders larger
+    if fwd_diff > 1e-2 or grad_rel > 5e-2:
+        raise AssertionError(
+            f"Pallas/XLA on-device divergence: {result}")
+    return result
+
+
 def _retry(fn, attempts=3, label=""):
     """The axon remote compiler intermittently returns HTTP 500 on large
     programs; one retry usually succeeds (the service recovers)."""
@@ -182,14 +271,24 @@ def main():
 
     n_chips = max(jax.device_count(), 1)
 
+    # 0) on-device Pallas<->XLA numerical cross-check (fwd + grad);
+    # raises on divergence — the shipped default's numerics are proven
+    # where they actually execute, not just in interpret mode
+    check_batch = {k: jnp.asarray(v)
+                   for k, v in _batch(4, 20, 640, rng=7).items()}
+    grad_batch = {k: jnp.asarray(v)
+                  for k, v in _batch(4, 20, 640, rng=8).items()}
+    extra = {}
+    extra.update(_retry(
+        lambda: crosscheck_pallas_vs_xla(check_batch, grad_batch),
+        label="crosscheck"))
+
     # 1) flagship base/32 inference — the primary scoreboard metric
     model, _, t, cfg = _flagship()
     batch = {k: jnp.asarray(v)
              for k, v in _batch(BATCH, t, cfg.beit3.img_size, rng=0).items()}
     base_infer = _retry(lambda: bench_inference(model, batch),
                         label="flagship") / n_chips
-
-    extra = {}
     # 2) full train step on the flagship (scan layout, like the configs)
     train_cfg = SimVGConfig(
         beit3=BEiT3Config.base(img_size=640, patch_size=32,
@@ -225,6 +324,65 @@ def main():
                    label="large32") / n_chips, 2)
     except Exception as e:  # noqa: BLE001
         extra["large32_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # 4) perf levers (VERDICT r2 #3) — measured, win or lose:
+    # (a) img_size=672: 21x21 grid, S=463 (config variant
+    #     configs/single/ViT-base/refcoco/refcoco_onestage_672.py)
+    cfg672 = SimVGConfig(
+        beit3=BEiT3Config.base(img_size=672, patch_size=32,
+                               dtype=jnp.bfloat16, attn_impl="pallas"),
+        head=TGQSHeadConfig(in_channels=768, dtype=jnp.bfloat16),
+    )
+    b672 = {k: jnp.asarray(v)
+            for k, v in _batch(BATCH, t, 672, rng=3).items()}
+    try:
+        extra["img672_images_per_sec_per_chip"] = round(
+            _retry(lambda: bench_inference(SimVGModel(cfg672), b672),
+                   label="img672") / n_chips, 2)
+    except Exception as e:  # noqa: BLE001
+        extra["img672_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # (b) S=421 -> 512 lane padding: text axis padded 20 -> 111 tokens
+    #     (everything past the 18 real ones attention-masked)
+    b512_np = _batch(BATCH, 111, 640, rng=4)
+    b512_np["text_padding_mask"][:, 18:] = 1
+    b512 = {k: jnp.asarray(v) for k, v in b512_np.items()}
+    try:
+        extra["s512_images_per_sec_per_chip"] = round(
+            _retry(lambda: bench_inference(model, b512),
+                   label="s512") / n_chips, 2)
+    except Exception as e:  # noqa: BLE001
+        extra["s512_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # (c) int8 serving: w8a8 dynamic quant on the encoder's parameter
+    #     matmuls (ops/quant.py) — MXU 2x path; report drift vs bf16
+    cfg_i8 = SimVGConfig(
+        beit3=BEiT3Config.base(img_size=640, patch_size=32,
+                               dtype=jnp.bfloat16, attn_impl="pallas",
+                               quant="int8"),
+        head=TGQSHeadConfig(in_channels=768, dtype=jnp.bfloat16),
+    )
+    try:
+        m_i8 = SimVGModel(cfg_i8)
+        extra["int8_images_per_sec_per_chip"] = round(
+            _retry(lambda: bench_inference(m_i8, batch),
+                   label="int8") / n_chips, 2)
+        # numeric drift vs the bf16 flagship on one small batch
+        p_small = _random_params(model, check_batch)
+
+        def _logits(m, p):
+            o = jax.jit(lambda p, b: m.apply(
+                p, image=b["image"], text_ids=b["text_ids"],
+                text_padding_mask=b["text_padding_mask"],
+                img_shape=b["img_shape"], deterministic=True)
+            )(p, check_batch)
+            return np.asarray(o["class_token"][-1], np.float32)
+
+        extra["int8_vs_bf16_logit_max_abs"] = round(float(
+            np.abs(_logits(m_i8, p_small)
+                   - _logits(model, p_small)).max()), 4)
+    except Exception as e:  # noqa: BLE001
+        extra["int8_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps({
         "metric": "rec_inference_images_per_sec_per_chip",

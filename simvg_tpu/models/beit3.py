@@ -71,6 +71,10 @@ class BEiT3Config:
     # parameter-matmul outputs (jax dots_with_no_batch_dims_saveable,
     # ~175 MB/layer at bs=32) and recompute only elementwise/LN/
     # attention-prob work — useful when backward-compute-bound.
+    quant: str = "none"  # "none" | "int8": serving-only w8a8 dynamic
+    # quantization of the encoder's parameter matmuls (q/k/v/out + FFN)
+    # on the MXU's 2x int8 path — same param layout, so converted
+    # checkpoints load unchanged (ops/quant.py; opt-in perf lever)
     scan_layers: bool = False  # lax.scan over the identical encoder
     # layers: ONE layer body in the compiled program instead of
     # num_layers copies — an order of magnitude smaller HLO, much
@@ -100,13 +104,18 @@ class BEiT3Config:
                    **kw)
 
 
-def _dense(cfg: BEiT3Config, features: int, name: str) -> nn.Dense:
+def _dense(cfg: BEiT3Config, features: int, name: str) -> nn.Module:
+    init = nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0)
+    if cfg.quant == "int8":
+        from simvg_tpu.ops.quant import Int8Dense
+
+        return Int8Dense(features, dtype=cfg.dtype, kernel_init=init,
+                         name=name)
     return nn.Dense(
         features,
         dtype=cfg.dtype,
         param_dtype=jnp.float32,
-        kernel_init=nn.initializers.truncated_normal(0.02, lower=-2.0,
-                                                     upper=2.0),
+        kernel_init=init,
         name=name,
     )
 

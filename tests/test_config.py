@@ -72,3 +72,21 @@ def test_all_shipped_configs_load_and_carry_reference_deltas():
     assert ft.lr == 0.0001 and ft.scheduler_config["max_epoch"] == 10
     ca = Config.fromfile(root + "/mix/ViT-base/pretrain-cocoall.py")
     assert ca.img_size == 512
+
+
+def test_672_lever_config_composes():
+    """Perf-lever variant (VERDICT r2 #3): inherits the flagship recipe,
+    overrides only the geometry to 672 (21x21 grid)."""
+    from simvg_tpu.config import Config
+
+    c = Config.fromfile(
+        "configs/single/ViT-base/refcoco/refcoco_onestage_672.py")
+    assert c["img_size"] == 672
+    assert c["model"]["vis_enc"]["img_size"] == 672
+    # recipe inherited from refcoco_onestage.py
+    assert c["model"]["vis_enc"]["attn_impl"] == "pallas"
+    assert c["model"]["vis_enc"]["scan_layers"] is True
+    assert c["data"]["samples_per_gpu"] == 32
+    for split in ("train", "val", "testA", "testB"):
+        ops = {op["type"]: op for op in c["data"][split]["pipeline"]}
+        assert ops["Resize"]["img_scale"] == (672, 672)
