@@ -66,3 +66,25 @@ def test_beit3_int8_config_runs_and_tracks_fp():
         rel = np.abs(a - b).mean() / (np.abs(b).mean() + 1e-6)
         assert rel < 0.15, rel  # 2-layer random net: quant noise bounded
         assert np.isfinite(a).all()
+
+
+def test_beit3_int8_composes_with_scan_layers():
+    """int8 serving must work in the shipped scan layout (stacked
+    [L, ...] Int8Dense kernels)."""
+    from simvg_tpu.models.beit3 import BEiT3Config, BEiT3Encoder
+
+    kw = dict(img_size=32, patch_size=16, embed_dim=32, num_heads=4,
+              ffn_dim=64, num_layers=2, vocab_size=60,
+              drop_path_rate=0.0, dtype=jnp.float32, scan_layers=True)
+    enc = BEiT3Encoder(BEiT3Config(quant="int8", **kw))
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    ids = rng.integers(0, 60, (2, 6)).astype(np.int32)
+    pad = np.zeros((2, 6), np.int32)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(img),
+                      jnp.asarray(ids), jnp.asarray(pad))
+    qi, qt, qc = jax.jit(
+        lambda p: enc.apply(p, jnp.asarray(img), jnp.asarray(ids),
+                            jnp.asarray(pad)))(params)
+    for a in (qi, qt, qc):
+        assert np.isfinite(np.asarray(a, np.float32)).all()
