@@ -261,8 +261,21 @@ def _retry(fn, attempts=3, label=""):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: the remote compiler costs minutes
+    # per midsize program through the tunnel; warmed by dev runs so the
+    # driver's end-of-round run reuses the executables.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
+    except Exception:  # noqa: BLE001 - older jax knob names
+        pass
 
     from __graft_entry__ import _batch, _flagship
     from simvg_tpu.models import SimVGModel, SimVGConfig
@@ -325,7 +338,17 @@ def main():
     except Exception as e:  # noqa: BLE001
         extra["large32_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    # 4) perf levers (VERDICT r2 #3) — measured, win or lose:
+    # 4) perf levers (VERDICT r2 #3) — measured, win or lose.  Gated
+    # behind BENCH_FULL=1 to bound the driver run's remote-compile
+    # count; the measured numbers live in ROADMAP.md "Levers"
+    # (r3, same-run flagship 1125.3): img672 1042.3 (-7%), s512 1039.2
+    # (-8%), int8 1150.0 (+2.2%, logit drift 1e-4), b=64/128 lose.
+    if not os.environ.get("BENCH_FULL"):
+        extra["levers_note"] = ("measured in ROADMAP.md Levers "
+                                "(BENCH_FULL=1 re-runs them)")
+        _emit(base_infer, extra)
+        return
+
     # (a) img_size=672: 21x21 grid, S=463 (config variant
     #     configs/single/ViT-base/refcoco/refcoco_onestage_672.py)
     cfg672 = SimVGConfig(
@@ -384,6 +407,10 @@ def main():
     except Exception as e:  # noqa: BLE001
         extra["int8_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    _emit(base_infer, extra)
+
+
+def _emit(base_infer, extra):
     print(json.dumps({
         "metric": "rec_inference_images_per_sec_per_chip",
         "value": round(float(base_infer), 2),
