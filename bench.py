@@ -105,13 +105,18 @@ def _timed_loop(step_to_scalar, warmup=WARMUP):
     return time.perf_counter() - t0
 
 
-def bench_inference(model, batch, iters=ITERS):
+def bench_inference(model, batch, iters=ITERS, branches="both"):
     import jax
     import jax.numpy as jnp
 
     from simvg_tpu.models.model import decode_predictions
 
     params = _random_params(model, batch)
+    branch_list = (("decoder", "class_decoder", "bbox_decoder"),
+                   ("token", "class_token", "bbox_token"))
+    if branches != "both":
+        branch_list = tuple(bl for bl in branch_list
+                            if bl[0] == branches)
 
     def one_pass(params, image, text_ids, text_padding_mask, img_shape):
         out = model.apply(
@@ -121,16 +126,14 @@ def bench_inference(model, batch, iters=ITERS):
             text_padding_mask=text_padding_mask,
             img_shape=img_shape,
             deterministic=True,
+            branches=branches,
         )
         preds = {
             name: decode_predictions(out[ck][-1], out[bk][-1], img_shape)
-            for name, ck, bk in (
-                ("decoder", "class_decoder", "bbox_decoder"),
-                ("token", "class_token", "bbox_token"),
-            )
+            for name, ck, bk in branch_list
         }
-        return (preds["token"]["best_score"].sum()
-                + preds["decoder"]["best_score"].sum())
+        return sum(preds[name]["best_score"].sum()
+                   for name, _, _ in branch_list)
 
     @jax.jit
     def infer_n(params, image, text_ids, text_padding_mask, img_shape):
@@ -351,6 +354,17 @@ def main():
     batch = _device_batch(BATCH, t, cfg.beit3.img_size, rng=0)
     base_infer = _retry(lambda: bench_inference(model, batch),
                         label="flagship") / n_chips
+
+    # 1b) token-branch-only serving — the reference's inference path
+    # uses ONLY the token branch (apis/inference.py:67 predictions[1]);
+    # dual-branch above is the conservative scoreboard number
+    try:
+        extra["token_branch_images_per_sec_per_chip"] = round(
+            _retry(lambda: bench_inference(model, batch,
+                                           branches="token"),
+                   label="tb") / n_chips, 2)
+    except Exception as e:  # noqa: BLE001
+        extra["token_branch_error"] = f"{type(e).__name__}: {e}"[:200]
     # 2) full train step on the flagship (scan layout, like the configs)
     train_cfg = SimVGConfig(
         beit3=BEiT3Config.base(img_size=640, patch_size=32,
