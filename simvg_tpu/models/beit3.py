@@ -180,6 +180,7 @@ class MultiwayAttention(nn.Module):
         xs,
         key_padding_mask: Optional[jnp.ndarray],
         deterministic: bool,
+        attn_bias: Optional[jnp.ndarray] = None,
     ):
         cfg = self.cfg
         split = xs[0].shape[1]
@@ -197,6 +198,10 @@ class MultiwayAttention(nn.Module):
             q, k, v,
             num_heads=cfg.num_heads,
             key_padding_mask=key_padding_mask,
+            # additive [S,S] mask (captioning's uni-directional mask,
+            # modeling_finetune.py:148-158); the fused kernel has no
+            # bias path, so multihead_attention falls back to XLA
+            attn_bias=attn_bias,
             dropout_rate=cfg.attention_dropout,
             deterministic=deterministic,
             dropout_rng=None if deterministic or cfg.attention_dropout == 0.0
@@ -249,7 +254,8 @@ class EncoderLayer(nn.Module):
     drop_path_rate: float
 
     @nn.compact
-    def __call__(self, xs, key_padding_mask, deterministic):
+    def __call__(self, xs, key_padding_mask, deterministic,
+                 attn_bias=None):
         cfg = self.cfg
         ln1_a = _ln(cfg, "self_attn_layer_norm_A")
         ln1_b = _ln(cfg, "self_attn_layer_norm_B")
@@ -259,7 +265,7 @@ class EncoderLayer(nn.Module):
 
         hs = (ln1_a(xs[0]).astype(cfg.dtype), ln1_b(xs[1]).astype(cfg.dtype))
         hs = MultiwayAttention(cfg, name="self_attn")(
-            hs, key_padding_mask, deterministic
+            hs, key_padding_mask, deterministic, attn_bias
         )
         hs = drop_path(hs, deterministic)
         xs = (xs[0] + hs[0], xs[1] + hs[1])
@@ -278,7 +284,7 @@ class _ScanLayerBody(nn.Module):
     deterministic: bool
 
     @nn.compact
-    def __call__(self, xs, key_padding_mask, dp_rate):
+    def __call__(self, xs, key_padding_mask, dp_rate, attn_bias=None):
         cfg = self.cfg
         det = self.deterministic
         ln1_a = _ln(cfg, "self_attn_layer_norm_A")
@@ -298,7 +304,7 @@ class _ScanLayerBody(nn.Module):
 
         hs = (ln1_a(xs[0]).astype(cfg.dtype), ln1_b(xs[1]).astype(cfg.dtype))
         hs = MultiwayAttention(cfg, name="self_attn")(
-            hs, key_padding_mask, det
+            hs, key_padding_mask, det, attn_bias
         )
         hs = drop_path(hs)
         xs = (xs[0] + hs[0], xs[1] + hs[1])
@@ -362,50 +368,70 @@ class BEiT3Encoder(nn.Module):
     @nn.compact
     def __call__(
         self,
-        images: jnp.ndarray,
-        text_ids: jnp.ndarray,
-        text_padding_mask: jnp.ndarray,
+        images: Optional[jnp.ndarray] = None,
+        text_ids: Optional[jnp.ndarray] = None,
+        text_padding_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        attn_bias: Optional[jnp.ndarray] = None,
     ):
+        """Joint (default), vision-only (``text_ids=None``) or text-only
+        (``images=None``) encode — the single-modality modes serve the
+        BEiT-3 task heads (retrieval/classification,
+        modeling_finetune.py:126-131, 244-276) and run the same layers
+        with an EMPTY other segment (0-length arrays are free under
+        XLA).  ``attn_bias``: optional additive [S,S] mask (captioning's
+        uni-directional mask).  Returns (img_feat, text_feat, cls_feat);
+        the absent modality's outputs are None."""
         cfg = self.cfg
-        split = cfg.seq_vision
+        assert images is not None or text_ids is not None
+        split = cfg.seq_vision if images is not None else 0
 
-        x_vis = VisionEmbedding(cfg, name="vision_embed")(images)
-        assert x_vis.shape[1] == split, (x_vis.shape, split)
+        if images is not None:
+            x_vis = VisionEmbedding(cfg, name="vision_embed")(images)
+            assert x_vis.shape[1] == split, (x_vis.shape, split)
+            b = x_vis.shape[0]
+            # Fairseq-compatible learned positions, offset by +2
+            # (beit3_base.py:425-432 + torchscale PositionalEmbedding
+            # default positions = arange(2, L+2)).
+            vis_pos_table = nn.Embed(
+                split + 2, cfg.embed_dim, dtype=cfg.dtype,
+                param_dtype=jnp.float32, name="vision_pos_embed",
+            )
+            x_vis = x_vis + vis_pos_table(jnp.arange(2, split + 2))
+        else:
+            b = text_ids.shape[0]
+            x_vis = jnp.zeros((b, 0, cfg.embed_dim), cfg.dtype)
 
-        text_embed = nn.Embed(
-            cfg.vocab_size,
-            cfg.embed_dim,
-            dtype=cfg.dtype,
-            param_dtype=jnp.float32,
-            embedding_init=nn.initializers.normal(cfg.embed_dim ** -0.5),
-            name="text_embed",
-        )
-        x_txt = text_embed(text_ids)
-
-        # Fairseq-compatible learned positions, offset by +2
-        # (beit3_base.py:425-432 + torchscale PositionalEmbedding default
-        # positions = arange(2, L+2)).
-        vis_pos_table = nn.Embed(
-            split + 2, cfg.embed_dim, dtype=cfg.dtype,
-            param_dtype=jnp.float32, name="vision_pos_embed",
-        )
-        txt_pos_table = nn.Embed(
-            cfg.max_source_positions, cfg.embed_dim, dtype=cfg.dtype,
-            param_dtype=jnp.float32, name="text_pos_embed",
-        )
-        t_txt = x_txt.shape[1]
-        x_vis = x_vis + vis_pos_table(jnp.arange(2, split + 2))
-        x_txt = x_txt + txt_pos_table(jnp.arange(2, t_txt + 2))
-
-        pad_txt = text_padding_mask.astype(bool)
-        # Zero embeddings at padded positions (beit3_base.py:367);
-        # vision positions are never padded.
-        x_txt = x_txt * (1.0 - pad_txt.astype(x_txt.dtype))[..., None]
+        if text_ids is not None:
+            text_embed = nn.Embed(
+                cfg.vocab_size,
+                cfg.embed_dim,
+                dtype=cfg.dtype,
+                param_dtype=jnp.float32,
+                embedding_init=nn.initializers.normal(
+                    cfg.embed_dim ** -0.5),
+                name="text_embed",
+            )
+            x_txt = text_embed(text_ids)
+            txt_pos_table = nn.Embed(
+                cfg.max_source_positions, cfg.embed_dim, dtype=cfg.dtype,
+                param_dtype=jnp.float32, name="text_pos_embed",
+            )
+            t_txt = x_txt.shape[1]
+            x_txt = x_txt + txt_pos_table(jnp.arange(2, t_txt + 2))
+            if text_padding_mask is None:
+                text_padding_mask = jnp.zeros((b, t_txt), jnp.int32)
+            pad_txt = text_padding_mask.astype(bool)
+            # Zero embeddings at padded positions (beit3_base.py:367);
+            # vision positions are never padded.
+            x_txt = x_txt * (1.0 - pad_txt.astype(x_txt.dtype))[..., None]
+        else:
+            x_txt = jnp.zeros((b, 0, cfg.embed_dim), cfg.dtype)
+            pad_txt = jnp.zeros((b, 0), bool)
 
         # key-padding mask over the joint sequence, for attention
         pad = jnp.concatenate(
-            [jnp.zeros((x_vis.shape[0], split), bool), pad_txt], axis=1
+            [jnp.zeros((b, split), bool), pad_txt], axis=1
         )
 
         xs = (x_vis.astype(cfg.dtype), x_txt.astype(cfg.dtype))
@@ -422,16 +448,28 @@ class BEiT3Encoder(nn.Module):
                 # docs) and avoids CSE-barrier overhead in the loop body
                 body = nn.remat(body, static_argnums=(),
                                 prevent_cse=False, **remat_kw)
-            scan = nn.scan(
-                body,
-                variable_axes={"params": 0},
-                split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast, 0),
-                length=cfg.num_layers,
-            )
-            xs, _ = scan(cfg, deterministic, name="layers")(
-                xs, pad, jnp.asarray(dpr, jnp.float32)
-            )
+            if attn_bias is None:
+                scan = nn.scan(
+                    body,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(nn.broadcast, 0),
+                    length=cfg.num_layers,
+                )
+                xs, _ = scan(cfg, deterministic, name="layers")(
+                    xs, pad, jnp.asarray(dpr, jnp.float32)
+                )
+            else:
+                scan = nn.scan(
+                    body,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(nn.broadcast, 0, nn.broadcast),
+                    length=cfg.num_layers,
+                )
+                xs, _ = scan(cfg, deterministic, name="layers")(
+                    xs, pad, jnp.asarray(dpr, jnp.float32), attn_bias
+                )
         else:
             layer_cls = (
                 nn.remat(EncoderLayer, static_argnums=(3,), **remat_kw)
@@ -440,14 +478,16 @@ class BEiT3Encoder(nn.Module):
             for i in range(cfg.num_layers):
                 xs = layer_cls(cfg, drop_path_rate=float(dpr[i]),
                                name=f"layers_{i}")(
-                    xs, pad, deterministic
+                    xs, pad, deterministic, attn_bias
                 )
 
         # normalize_output=True -> final multiway LayerNorm
         # (beit3_base.py:227-230).
-        x_vis = _ln(cfg, "layer_norm_A")(xs[0])
-        text_feat = _ln(cfg, "layer_norm_B")(xs[1])
-
-        cls_feat = x_vis[:, 0]
-        img_feat = x_vis[:, 1:]
+        img_feat = text_feat = cls_feat = None
+        if split:
+            x_vis = _ln(cfg, "layer_norm_A")(xs[0])
+            cls_feat = x_vis[:, 0]
+            img_feat = x_vis[:, 1:]
+        if text_ids is not None:
+            text_feat = _ln(cfg, "layer_norm_B")(xs[1])
         return img_feat, text_feat, cls_feat
