@@ -58,3 +58,38 @@ def box_loss(
     )
     loss_giou = (1.0 - jnp.diagonal(giou)).sum() / bs
     return 5.0 * l1 + 2.0 * loss_giou, 5.0 * l1, 2.0 * loss_giou
+
+
+def mdetr_hungarian_match(
+    pred_logits: jnp.ndarray,  # [B, Q, num_tokens]
+    pred_boxes: jnp.ndarray,  # [B, Q, 4] cxcywh
+    tgt_boxes: jnp.ndarray,  # [B, T, 4] cxcywh (padded)
+    tgt_valid: jnp.ndarray,  # [B, T] bool
+    positive_map: jnp.ndarray,  # [B, T, num_tokens] soft token targets
+    cost_class: float = 1.0,
+    cost_bbox: float = 5.0,
+    cost_giou: float = 2.0,
+):
+    """The mdetr HungarianMatcher (reference simvg/core/matcher.py:12-85,
+    unused by shipped configs, kept for inventory parity).
+
+    Distinguishing feature vs the detrex matcher: the class cost is the
+    SOFT-TOKEN alignment cost ``-(softmax(logits) . positive_map)``
+    (matcher.py:69) instead of -prob[label].  Batched/padded and
+    device-resident (jnp Hungarian) instead of ragged scipy-on-host.
+
+    Returns (col4row [B, Q] target-or--1, row4col [B, T] query-or--1).
+    """
+    from simvg_tpu.ops.hungarian import hungarian_assign
+
+    prob = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)
+    cc = -jnp.einsum("bqv,btv->bqt", prob,
+                     positive_map.astype(jnp.float32))
+    cb = jnp.abs(
+        pred_boxes[:, :, None, :] - tgt_boxes[:, None, :, :]
+    ).sum(-1)
+    cg = -generalized_box_iou_pairwise(
+        box_cxcywh_to_xyxy(pred_boxes), box_cxcywh_to_xyxy(tgt_boxes)
+    )
+    cost = cost_class * cc + cost_bbox * cb + cost_giou * cg
+    return jax.vmap(hungarian_assign)(cost, tgt_valid.astype(bool))
