@@ -105,13 +105,15 @@ def _timed_loop(step_to_scalar, warmup=WARMUP):
     return time.perf_counter() - t0
 
 
-def bench_inference(model, batch, iters=ITERS, branches="both"):
+def bench_inference(model, batch, iters=ITERS, branches="both",
+                    params=None):
     import jax
     import jax.numpy as jnp
 
     from simvg_tpu.models.model import decode_predictions
 
-    params = _random_params(model, batch)
+    if params is None:
+        params = _random_params(model, batch)
     branch_list = (("decoder", "class_decoder", "bbox_decoder"),
                    ("token", "class_token", "bbox_token"))
     if branches != "both":
@@ -467,6 +469,62 @@ def main():
                    - _logits(model, p_small)).max()), 4)
     except Exception as e:  # noqa: BLE001
         extra["int8_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # (d) int8_static serving: pre-quantized weights + calibrated
+    #     activation scales (ops/quant.py build_quant_collection) —
+    #     removes the dynamic requantization streams that ate the w8a8
+    #     gain in (c); the only per-step elementwise cost left is the
+    #     activation round/clip
+    try:
+        from simvg_tpu.ops.quant import build_quant_collection
+
+        cfg_cal = SimVGConfig(
+            beit3=BEiT3Config.base(img_size=640, patch_size=32,
+                                   dtype=jnp.bfloat16,
+                                   attn_impl="pallas",
+                                   quant="int8_calib"),
+            head=TGQSHeadConfig(in_channels=768, dtype=jnp.bfloat16),
+        )
+        cfg_st = SimVGConfig(
+            beit3=BEiT3Config.base(img_size=640, patch_size=32,
+                                   dtype=jnp.bfloat16,
+                                   attn_impl="pallas",
+                                   quant="int8_static"),
+            head=TGQSHeadConfig(in_channels=768, dtype=jnp.bfloat16),
+        )
+        m_cal, m_st = SimVGModel(cfg_cal), SimVGModel(cfg_st)
+        p_fp = _random_params(model, batch)
+
+        def _skel(m):
+            return jax.eval_shape(lambda: m.init(
+                jax.random.PRNGKey(0),
+                image=batch["image"][:1],
+                text_ids=batch["text_ids"][:1],
+                text_padding_mask=batch["text_padding_mask"][:1],
+                img_shape=batch["img_shape"][:1]))["quant"]
+
+        qzero = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                             _skel(m_cal))
+
+        @jax.jit
+        def _calibrate(p, qz, b):
+            _, mut = m_cal.apply(
+                {"params": p["params"], "quant": qz},
+                image=b["image"], text_ids=b["text_ids"],
+                text_padding_mask=b["text_padding_mask"],
+                img_shape=b["img_shape"], deterministic=True,
+                mutable=["quant"])
+            return mut["quant"]
+
+        amax = _calibrate(p_fp, qzero, batch)
+        qcol = jax.jit(lambda p, a: build_quant_collection(
+            p["params"], _skel(m_st), a, margin=1.05))(p_fp, amax)
+        vars_st = {"params": p_fp["params"], "quant": qcol}
+        extra["int8_static_images_per_sec_per_chip"] = round(
+            _retry(lambda: bench_inference(m_st, batch, params=vars_st),
+                   label="int8_static") / n_chips, 2)
+    except Exception as e:  # noqa: BLE001
+        extra["int8_static_error"] = f"{type(e).__name__}: {e}"[:200]
 
     _emit(base_infer, extra)
 

@@ -71,10 +71,14 @@ class BEiT3Config:
     # parameter-matmul outputs (jax dots_with_no_batch_dims_saveable,
     # ~175 MB/layer at bs=32) and recompute only elementwise/LN/
     # attention-prob work — useful when backward-compute-bound.
-    quant: str = "none"  # "none" | "int8": serving-only w8a8 dynamic
-    # quantization of the encoder's parameter matmuls (q/k/v/out + FFN)
-    # on the MXU's 2x int8 path — same param layout, so converted
-    # checkpoints load unchanged (ops/quant.py; opt-in perf lever)
+    quant: str = "none"  # "none" | "int8" | "int8_calib" |
+    # "int8_static": serving-only w8a8 quantization of the encoder's
+    # parameter matmuls (q/k/v/out + FFN) on the MXU's 2x int8 path —
+    # same param layout, so converted checkpoints load unchanged.
+    # "int8" quantizes dynamically each forward; "int8_calib" records
+    # activation maxima (mutable "quant" collection); "int8_static"
+    # serves from pre-quantized weights + calibrated activation scales
+    # (ops/quant.py build_quant_collection)
     scan_layers: bool = False  # lax.scan over the identical encoder
     # layers: ONE layer body in the compiled program instead of
     # num_layers copies — an order of magnitude smaller HLO, much
@@ -106,11 +110,13 @@ class BEiT3Config:
 
 def _dense(cfg: BEiT3Config, features: int, name: str) -> nn.Module:
     init = nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0)
-    if cfg.quant == "int8":
+    if cfg.quant.startswith("int8"):
         from simvg_tpu.ops.quant import Int8Dense
 
+        mode = {"int8": "dynamic", "int8_calib": "calib",
+                "int8_static": "static"}[cfg.quant]
         return Int8Dense(features, dtype=cfg.dtype, kernel_init=init,
-                         name=name)
+                         mode=mode, name=name)
     return nn.Dense(
         features,
         dtype=cfg.dtype,
@@ -448,10 +454,15 @@ class BEiT3Encoder(nn.Module):
                 # docs) and avoids CSE-barrier overhead in the loop body
                 body = nn.remat(body, static_argnums=(),
                                 prevent_cse=False, **remat_kw)
+            # the per-layer "quant" collection (int8_static/calib
+            # modes) is stacked along the scan axis like params
+            var_axes = {"params": 0}
+            if cfg.quant in ("int8_static", "int8_calib"):
+                var_axes["quant"] = 0
             if attn_bias is None:
                 scan = nn.scan(
                     body,
-                    variable_axes={"params": 0},
+                    variable_axes=var_axes,
                     split_rngs={"params": True, "dropout": True},
                     in_axes=(nn.broadcast, 0),
                     length=cfg.num_layers,
@@ -462,7 +473,7 @@ class BEiT3Encoder(nn.Module):
             else:
                 scan = nn.scan(
                     body,
-                    variable_axes={"params": 0},
+                    variable_axes=var_axes,
                     split_rngs={"params": True, "dropout": True},
                     in_axes=(nn.broadcast, 0, nn.broadcast),
                     length=cfg.num_layers,

@@ -20,6 +20,22 @@ The reference has no quantized path (fp16 via apex at most,
 opt-in (``BEiT3Config.quant="int8"``) because accuracy on released
 weights is unvalidated in this environment — bench.py reports the
 numeric drift vs bf16 alongside the throughput.
+
+Three modes (``BEiT3Config.quant``):
+
+- ``"int8"`` — fully dynamic w8a8: weights AND activations quantized
+  inside every forward.  Zero setup, but the requantization streams
+  (weight max+round each step, activation max+round each matmul) run
+  at the ~100 G elem/s elementwise floor and ate most of the MXU gain
+  when measured (+2.2%, ROADMAP.md "Levers").
+- ``"int8_calib"`` — calibration pass: the f32/bf16 forward runs
+  unchanged while each layer records the running max |activation| into
+  a mutable ``"quant"`` collection (run with ``mutable=["quant"]``).
+- ``"int8_static"`` — serving: weights are PRE-quantized offline
+  (``build_quant_collection``) and activation scales are the calibrated
+  constants, so the only remaining per-step elementwise work is the
+  activation round/clip (fusable into the producer); no max-reductions,
+  no weight requant.
 """
 
 from __future__ import annotations
@@ -41,12 +57,23 @@ def quantize_symmetric(w: jnp.ndarray, axis=None):
 
 
 class Int8Dense(nn.Module):
-    """nn.Dense-compatible w8a8 dynamic-quant linear layer."""
+    """nn.Dense-compatible w8a8 linear layer.
+
+    ``mode``: "dynamic" (per-forward quantization of weights and
+    activations), "calib" (normal matmul; records running max
+    |activation| into the mutable "quant" collection), "static"
+    (reads pre-quantized weights + calibrated activation scale from
+    the "quant" collection — see ``build_quant_collection``).
+    The "params" collection layout is identical in every mode
+    ("kernel" [in, out] f32 + "bias" f32), so converted reference
+    checkpoints load unchanged.
+    """
 
     features: int
     dtype: Any = jnp.bfloat16
     kernel_init: Any = nn.initializers.lecun_normal()
     bias_init: Any = nn.initializers.zeros_init()
+    mode: str = "dynamic"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -54,9 +81,42 @@ class Int8Dense(nn.Module):
                             (x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", self.bias_init, (self.features,),
                           jnp.float32)
-        # per-output-channel weight scale (axis 0 = input features)
+
+        if self.mode == "calib":
+            amax = self.variable("quant", "act_amax",
+                                 lambda: jnp.zeros((), jnp.float32))
+            if (not self.is_initializing()
+                    and self.is_mutable_collection("quant")):
+                amax.value = jnp.maximum(
+                    amax.value, jnp.abs(x.astype(jnp.float32)).max())
+            y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+            return (y.astype(jnp.float32) + bias).astype(self.dtype)
+
+        if self.mode == "static":
+            w_q = self.variable(
+                "quant", "w_q",
+                lambda: quantize_symmetric(kernel, axis=0)[0])
+            s_w = self.variable(
+                "quant", "s_w",
+                lambda: quantize_symmetric(kernel, axis=0)[1])
+            act_scale = self.variable(
+                "quant", "act_scale", lambda: jnp.ones((), jnp.float32))
+            s_x = jnp.maximum(act_scale.value / 127.0, 1e-8)
+            x_q = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / s_x), -127, 127
+            ).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                x_q, w_q.value,
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = y.astype(jnp.float32) * (s_x * s_w.value) + bias
+            return y.astype(self.dtype)
+
+        # dynamic: per-output-channel weight scale (axis 0 = input
+        # features), per-tensor dynamic activation scale
         w_q, s_w = quantize_symmetric(kernel, axis=0)  # s_w: [features]
-        x_q, s_x = quantize_symmetric(x)  # per-tensor dynamic
+        x_q, s_x = quantize_symmetric(x)
         y = jax.lax.dot_general(
             x_q, w_q,
             (((x.ndim - 1,), (0,)), ((), ())),
@@ -64,3 +124,52 @@ class Int8Dense(nn.Module):
         )
         y = y.astype(jnp.float32) * (s_x * s_w) + bias
         return y.astype(self.dtype)
+
+
+def build_quant_collection(params, quant_skeleton, act_amax=None,
+                           margin: float = 1.0):
+    """Build the "quant" collection for an ``int8_static`` model.
+
+    params: the model's "params" collection (f32 kernels, any layout —
+    including scan-stacked [L, in, out] kernels).
+    quant_skeleton: the "quant" collection structure from
+    ``jax.eval_shape(static_model.init, ...)["quant"]`` — its module
+    paths name exactly the quantized layers.
+    act_amax: optional "quant" collection produced by a calibration run
+    (mode="int8_calib" with ``mutable=["quant"]``) holding per-layer
+    max |activation|; when absent, activation scales default to 1.0.
+    margin: multiplier on the calibrated amax (headroom for activations
+    beyond the calibration set).
+
+    Pure jnp tree surgery — jit it for on-device construction.
+    """
+    from flax import traverse_util
+
+    flat_q = traverse_util.flatten_dict(quant_skeleton)
+    flat_p = traverse_util.flatten_dict(params)
+    flat_a = (traverse_util.flatten_dict(act_amax)
+              if act_amax is not None else {})
+    out = {}
+    for path, leaf in flat_q.items():
+        mod, name = path[:-1], path[-1]
+        if name in ("w_q", "s_w"):
+            kernel = jnp.asarray(flat_p[mod + ("kernel",)], jnp.float32)
+            # per-(stack, output-channel) scale: reduce the input axis
+            amax = jnp.abs(kernel).max(axis=-2)
+            scale = jnp.maximum(amax / 127.0, 1e-8)
+            if name == "s_w":
+                out[path] = scale
+            else:
+                q = jnp.clip(
+                    jnp.round(kernel / scale[..., None, :]), -127, 127)
+                out[path] = q.astype(jnp.int8)
+        elif name == "act_scale":
+            a = flat_a.get(mod + ("act_amax",))
+            if a is None:
+                out[path] = jnp.ones(leaf.shape, jnp.float32)
+            else:
+                out[path] = jnp.maximum(
+                    jnp.asarray(a, jnp.float32) * margin, 1e-8)
+        else:  # pragma: no cover - future-proofing
+            raise KeyError(f"unknown quant leaf {path}")
+    return traverse_util.unflatten_dict(out)

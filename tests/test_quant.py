@@ -88,3 +88,82 @@ def test_beit3_int8_composes_with_scan_layers():
                             jnp.asarray(pad)))(params)
     for a in (qi, qt, qc):
         assert np.isfinite(np.asarray(a, np.float32)).all()
+
+
+def _tiny_inputs(seed=4):
+    rng = np.random.default_rng(seed)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    ids = rng.integers(0, 60, (2, 6)).astype(np.int32)
+    pad = np.zeros((2, 6), np.int32)
+    return jnp.asarray(img), jnp.asarray(ids), jnp.asarray(pad)
+
+
+def _calibrate_and_build(kw, params, img, ids, pad, margin=1.0):
+    """calib pass -> build_quant_collection for the static model."""
+    from simvg_tpu.models.beit3 import BEiT3Config, BEiT3Encoder
+    from simvg_tpu.ops.quant import build_quant_collection
+
+    enc_cal = BEiT3Encoder(BEiT3Config(quant="int8_calib", **kw))
+    skel_cal = jax.eval_shape(
+        lambda: enc_cal.init(jax.random.PRNGKey(0), img, ids, pad))
+    qzero = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                         skel_cal["quant"])
+    _, mut = enc_cal.apply(
+        {"params": params["params"], "quant": qzero}, img, ids, pad,
+        mutable=["quant"])
+
+    enc_st = BEiT3Encoder(BEiT3Config(quant="int8_static", **kw))
+    skel_st = jax.eval_shape(
+        lambda: enc_st.init(jax.random.PRNGKey(0), img, ids, pad))
+    qcol = build_quant_collection(params["params"], skel_st["quant"],
+                                  mut["quant"], margin=margin)
+    return enc_st, {"params": params["params"], "quant": qcol}
+
+
+def test_int8_static_matches_dynamic(scan=False):
+    """Calibrated static path tracks fp32 about as well as dynamic
+    (same weights, activation scales from a calibration batch)."""
+    from simvg_tpu.models.beit3 import BEiT3Config, BEiT3Encoder
+
+    kw = dict(img_size=32, patch_size=16, embed_dim=32, num_heads=4,
+              ffn_dim=64, num_layers=2, vocab_size=60,
+              drop_path_rate=0.0, dtype=jnp.float32, scan_layers=scan)
+    img, ids, pad = _tiny_inputs()
+    enc_fp = BEiT3Encoder(BEiT3Config(**kw))
+    params = enc_fp.init(jax.random.PRNGKey(0), img, ids, pad)
+    enc_st, vars_st = _calibrate_and_build(kw, params, img, ids, pad)
+
+    # calib collection shapes: one amax per quantized layer
+    fi, ft, fc = enc_fp.apply(params, img, ids, pad)
+    qi, qt, qc = jax.jit(
+        lambda v: enc_st.apply(v, img, ids, pad))(vars_st)
+    for a, b in ((qi, fi), (qt, ft), (qc, fc)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.abs(a - b).mean() / (np.abs(b).mean() + 1e-6)
+        assert rel < 0.15, rel
+        assert np.isfinite(a).all()
+        assert not np.allclose(a, b)  # actually quantized
+
+
+def test_int8_static_composes_with_scan_layers():
+    test_int8_static_matches_dynamic(scan=True)
+
+
+def test_int8_calib_records_amax():
+    from simvg_tpu.models.beit3 import BEiT3Config, BEiT3Encoder
+
+    kw = dict(img_size=32, patch_size=16, embed_dim=32, num_heads=4,
+              ffn_dim=64, num_layers=2, vocab_size=60,
+              drop_path_rate=0.0, dtype=jnp.float32)
+    img, ids, pad = _tiny_inputs(5)
+    enc = BEiT3Encoder(BEiT3Config(quant="int8_calib", **kw))
+    v = enc.init(jax.random.PRNGKey(0), img, ids, pad)
+    _, mut = enc.apply(v, img, ids, pad, mutable=["quant"])
+    leaves = jax.tree.leaves(mut["quant"])
+    assert leaves and all(float(l.max()) > 0 for l in leaves)
+    # calib forward == plain fp forward (no quantization noise)
+    enc_fp = BEiT3Encoder(BEiT3Config(**kw))
+    fi, _, _ = enc_fp.apply({"params": v["params"]}, img, ids, pad)
+    ci, _, _ = enc.apply(v, img, ids, pad)
+    np.testing.assert_allclose(np.asarray(ci), np.asarray(fi),
+                               rtol=1e-5, atol=1e-5)
