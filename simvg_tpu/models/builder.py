@@ -91,6 +91,9 @@ def build_model(model_cfg: Dict[str, Any], *, img_size: int = 640,
         remat=ve.get("remat", ve.get("checkpoint_activations", False)
                      or False),
         scan_layers=ve.get("scan_layers", False),
+        # serving quantization (ops/quant.py): "none" | "int8" |
+        # "int8_calib" | "int8_static"
+        quant=ve.get("quant", "none"),
     )
     extra = {
         k: ve[k]

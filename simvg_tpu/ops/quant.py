@@ -173,3 +173,56 @@ def build_quant_collection(params, quant_skeleton, act_amax=None,
         else:  # pragma: no cover - future-proofing
             raise KeyError(f"unknown quant leaf {path}")
     return traverse_util.unflatten_dict(out)
+
+
+def save_quant_collection(path: str, qcol) -> None:
+    """Persist a "quant" collection as .npz (keys = '/'-joined module
+    paths) — the serving artifact produced by
+    tools/misc/quantize_serving.py."""
+    import numpy as np
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(qcol)
+    np.savez(path, **{"/".join(k): np.asarray(v)
+                      for k, v in flat.items()})
+
+
+def attach_static_quant(variables, quant_skel, quant_npz=None):
+    """Attach the "quant" collection to restored serving variables.
+
+    Checkpoints never carry "quant" (it is a serving artifact), so CLIs
+    restore with a params-only template and re-attach here:
+
+    - ``quant_skel`` is the collection ``model.init`` produced (popped
+      off the restore template); ``None`` for non-quantized models, in
+      which case ``variables`` is returned unchanged.
+    - ``quant_npz`` is a calibrated artifact from
+      tools/misc/quantize_serving.py; when absent the LOADED weights
+      are pre-quantized on the fly (activation scales default 1.0 —
+      prefer a calibrated artifact).
+    """
+    if quant_npz is not None:
+        if quant_skel is None:
+            raise SystemExit(
+                "--quant-collection given but the model has no quant "
+                "layers; set model.vis_enc.quant=int8_static")
+        variables = dict(variables)
+        variables["quant"] = load_quant_collection(quant_npz)
+    elif quant_skel is not None:
+        variables = dict(variables)
+        variables["quant"] = jax.jit(
+            lambda p: build_quant_collection(p, quant_skel)
+        )(variables["params"])
+    return variables
+
+
+def load_quant_collection(path: str):
+    """Inverse of ``save_quant_collection``; returns the collection to
+    pass as ``{"params": ..., "quant": <this>}`` to an ``int8_static``
+    model's apply."""
+    import numpy as np
+    from flax import traverse_util
+
+    with np.load(path) as z:
+        flat = {tuple(k.split("/")): jnp.asarray(z[k]) for k in z.files}
+    return traverse_util.unflatten_dict(flat)

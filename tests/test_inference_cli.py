@@ -85,3 +85,47 @@ def test_test_cli_multi_split_eval(smoke_ckpt, tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "[val]" in proc.stderr or "[val]" in proc.stdout, (
         proc.stdout[-500:], proc.stderr[-500:])
+
+
+def test_int8_static_calibrate_then_eval(smoke_ckpt, tmp_path):
+    """Serving quantization e2e (ops/quant.py, no reference analogue):
+    tools/misc/quantize_serving.py calibrates an int8_static artifact
+    from the trained checkpoint, then tools/test.py evaluates with
+    model.vis_enc.quant=int8_static --quant-collection."""
+    import json
+
+    root, ckpt = smoke_ckpt
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    npz = tmp_path / "qcol.npz"
+    data_opts = [
+        f"data.train.annsfile={root}/instances.json",
+        f"data.train.imgsfile={root}/images",
+        f"data.val.annsfile={root}/instances.json",
+        f"data.val.imgsfile={root}/images",
+    ]
+    cmd = [
+        sys.executable, "tools/misc/quantize_serving.py",
+        "configs/smoke/tiny_synth.py", ckpt, "--platform", "cpu",
+        "--num-batches", "2", "--out", str(npz),
+        "--cfg-options", *data_opts,
+    ]
+    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["quantized_layers"] > 0
+    assert stats["act_amax_max"] > 0  # calibration actually observed x
+    assert os.path.getsize(npz) > 0
+
+    cmd = [
+        sys.executable, "tools/test.py",
+        "configs/smoke/tiny_synth.py", ckpt, "--platform", "cpu",
+        "--quant-collection", str(npz),
+        "--cfg-options", "model.vis_enc.quant=int8_static", *data_opts,
+    ]
+    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "[val]" in proc.stderr or "[val]" in proc.stdout, (
+        proc.stdout[-500:], proc.stderr[-500:])

@@ -85,14 +85,21 @@ def main():
         s = t(s)
     batch = collate([s], canvas=img_size, max_gt=1)
 
-    params = model.init(
+    params = dict(model.init(
         jax.random.PRNGKey(0),
         **{k: jnp.asarray(batch[k]) for k in
            ("image", "text_ids", "text_padding_mask", "img_shape")},
-    )
+    ))
+    # int8_static models carry a "quant" collection checkpoints never
+    # have (ops/quant.attach_static_quant rebuilds it after restore)
+    quant_skel = params.pop("quant", None)
     if args.checkpoint:
         params = load_checkpoint(args.checkpoint,
                                  params_template=params)["params"]
+    if quant_skel is not None:
+        from simvg_tpu.ops.quant import attach_static_quant
+
+        params = attach_static_quant(params, quant_skel)
 
     step = jax.jit(make_eval_step(model))
     preds = step(params, {k: v for k, v in batch.items() if k != "meta"})

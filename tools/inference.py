@@ -28,6 +28,9 @@ def main():
     p.add_argument("--max-images", type=int, default=100)
     p.add_argument("--with-attn", action="store_true",
                    help="also write decoder cross-attention heatmaps")
+    p.add_argument("--quant-collection", default=None,
+                   help=".npz from tools/misc/quantize_serving.py "
+                        "(use with model.vis_enc.quant=int8_static)")
     p.add_argument("--platform", default=None)
     p.add_argument("--cfg-options", nargs="*", default=[],
                    help="dotted overrides key=value")
@@ -73,13 +76,19 @@ def main():
     )
 
     sample = next(iter(loader))
-    params = model.init(
+    params = dict(model.init(
         jax.random.PRNGKey(0),
         **{k: sample[k] for k in
            ("image", "text_ids", "text_padding_mask", "img_shape")},
-    )
-    params = load_checkpoint(args.checkpoint,
-                             params_template=params)["params"]
+    ))
+    # int8_static models carry a "quant" collection the checkpoint does
+    # not have: split it off the restore template, re-attach after.
+    quant_skel = params.pop("quant", None)
+    from simvg_tpu.ops.quant import attach_static_quant
+
+    params = attach_static_quant(
+        load_checkpoint(args.checkpoint, params_template=params)["params"],
+        quant_skel, args.quant_collection)
     if not args.with_attn:
         step = jax.jit(make_eval_step(model))
         grid = None

@@ -59,10 +59,17 @@ def main():
     inputs = {k: jnp.asarray(batch[k]) for k in
               ("image", "text_ids", "text_padding_mask", "img_shape")}
 
-    params = model.init(jax.random.PRNGKey(0), **inputs)
+    params = dict(model.init(jax.random.PRNGKey(0), **inputs))
+    # int8_static models carry a "quant" collection checkpoints never
+    # have (ops/quant.attach_static_quant rebuilds it after restore)
+    quant_skel = params.pop("quant", None)
     if args.checkpoint:
         params = load_checkpoint(args.checkpoint,
                                  params_template=params)["params"]
+    if quant_skel is not None:
+        from simvg_tpu.ops.quant import attach_static_quant
+
+        params = attach_static_quant(params, quant_skel)
 
     enc = BEiT3Encoder(model.cfg.beit3)
     head = TGQSKDDETRHead(model.cfg.head)

@@ -18,6 +18,9 @@ def main():
     p.add_argument("checkpoint")
     p.add_argument("--with-ema", action="store_true",
                    help="also evaluate the EMA weights")
+    p.add_argument("--quant-collection", default=None,
+                   help=".npz from tools/misc/quantize_serving.py "
+                        "(use with model.vis_enc.quant=int8_static)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() from "
                         "the dist_train.sh env contract")
@@ -111,14 +114,21 @@ def main():
 
     first = next(iter(loaders.values()))
     sample = next(iter(first))
-    params = model.init(
+    params = dict(model.init(
         jax.random.PRNGKey(0),
         **{k: sample[k] for k in
            ("image", "text_ids", "text_padding_mask", "img_shape")},
-    )
+    ))
+    # int8_static models carry a "quant" collection checkpoints never
+    # have: split it off the restore template, re-attach after.
+    from simvg_tpu.ops.quant import attach_static_quant
+
+    quant_skel = params.pop("quant", None)
     ck = load_checkpoint(args.checkpoint, params_template=params,
                          with_ema=args.with_ema)
-    params = shard_params(ck["params"], mesh)
+    params = shard_params(
+        attach_static_quant(ck["params"], quant_skel,
+                            args.quant_collection), mesh)
 
     def eval_put(device_batch):
         if pc > 1:
@@ -149,7 +159,11 @@ def main():
         logger.info(f"[{s}] " + ", ".join(
             f"{k}: {v:.2f}" for k, v in m.items()))
         if args.with_ema and ck.get("ema_params") is not None:
-            m = evaluate(model, shard_params(ck["ema_params"], mesh),
+            # quant weights must come from the EMA params (the .npz was
+            # calibrated on the raw weights), so rebuild on the fly
+            m = evaluate(model,
+                         shard_params(attach_static_quant(
+                             ck["ema_params"], quant_skel), mesh),
                          loader, is_grec=is_grec, eval_step=eval_step,
                          put_fn=eval_put)
             logger.info(f"[{s}][EMA] " + ", ".join(
