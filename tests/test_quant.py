@@ -167,3 +167,44 @@ def test_int8_calib_records_amax():
     ci, _, _ = enc.apply(v, img, ids, pad)
     np.testing.assert_allclose(np.asarray(ci), np.asarray(fi),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_quant_collection_npz_roundtrip_and_attach(tmp_path):
+    """save/load_quant_collection + attach_static_quant (the CLI
+    serving path: tools/misc/quantize_serving.py -> tools/test.py
+    --quant-collection)."""
+    from simvg_tpu.models.beit3 import BEiT3Config, BEiT3Encoder
+    from simvg_tpu.ops.quant import (
+        attach_static_quant,
+        load_quant_collection,
+        save_quant_collection,
+    )
+
+    kw = dict(img_size=32, patch_size=16, embed_dim=32, num_heads=4,
+              ffn_dim=64, num_layers=2, vocab_size=60,
+              drop_path_rate=0.0, dtype=jnp.float32)
+    img, ids, pad = _tiny_inputs()
+    enc = BEiT3Encoder(BEiT3Config(quant="int8_static", **kw))
+    vars0 = dict(enc.init(jax.random.PRNGKey(0), img, ids, pad))
+    skel = vars0.pop("quant")
+
+    # on-the-fly attach (no .npz): rebuilds w_q/s_w from the params
+    v1 = attach_static_quant(dict(vars0), skel)
+    assert "quant" in v1
+    o1 = enc.apply(v1, img, ids, pad)
+
+    # npz roundtrip attach: byte-identical collection -> same output
+    f = str(tmp_path / "q.npz")
+    save_quant_collection(f, jax.device_get(v1["quant"]))
+    v2 = attach_static_quant(dict(vars0), skel, quant_npz=f)
+    loaded = load_quant_collection(f)
+    for a, b in zip(jax.tree.leaves(loaded),
+                    jax.tree.leaves(v1["quant"])):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    o2 = enc.apply(v2, img, ids, pad)
+    for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(o2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # non-quant model: variables pass through untouched
+    assert attach_static_quant(vars0, None) is vars0
