@@ -526,6 +526,38 @@ def main():
     except Exception as e:  # noqa: BLE001
         extra["int8_static_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # (e) AOT-exported serving parity (simvg_tpu/export.py): the
+    #     deployment artifact must serve at the in-process jit rate.
+    #     Weights stay an argument (bake_weights=False) so lowering
+    #     does not haul ~0.5 GB of constants through the tunnelled
+    #     host; the timed loop calls the Exported inside fori_loop.
+    try:
+        from simvg_tpu.export import export_serving
+
+        p_aot = _random_params(model, batch)
+        exp = export_serving(model, p_aot, batch, platforms=None,
+                             bake_weights=False)
+
+        @jax.jit
+        def aot_n(p, image, text_ids, text_padding_mask, img_shape):
+            def body(i, acc):
+                out = exp.call(p, dict(
+                    image=image + acc * 1e-38, text_ids=text_ids,
+                    text_padding_mask=text_padding_mask,
+                    img_shape=img_shape))
+                return acc + (out["token"]["best_score"].sum()
+                              + out["decoder"]["best_score"].sum())
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+        aot_args = (p_aot, batch["image"], batch["text_ids"],
+                    batch["text_padding_mask"], batch["img_shape"])
+        dt = _retry(lambda: _timed_loop(lambda: aot_n(*aot_args)),
+                    label="aot")
+        extra["aot_exported_images_per_sec_per_chip"] = round(
+            BATCH * ITERS / dt / n_chips, 2)
+    except Exception as e:  # noqa: BLE001
+        extra["aot_error"] = f"{type(e).__name__}: {e}"[:200]
+
     _emit(base_infer, extra)
 
 

@@ -73,18 +73,36 @@ def serving_specs(sample_batch, polymorphic_batch: bool = False):
 
 def export_serving(model, variables, sample_batch, *,
                    platforms=("tpu",), polymorphic_batch: bool = False,
-                   device_norm: Optional[dict] = None):
+                   device_norm: Optional[dict] = None,
+                   bake_weights: bool = True):
     """Lower + export the serving forward for ``platforms``.
 
-    Returns a ``jax.export.Exported``; weights ride along as lowered
-    constants.  Lowering for a platform does not require having that
-    platform: export for TPU from a CPU host works.
+    Returns a ``jax.export.Exported``.  Lowering for a platform does
+    not require having that platform: export for TPU from a CPU host
+    works.  ``platforms=None`` lowers for this process's default
+    backend only.
+
+    ``bake_weights=True`` (the deployment default): weights ride along
+    as lowered constants — one self-contained artifact,
+    ``exp.call(batch)``.  ``bake_weights=False``: weights stay an
+    argument — ``exp.call(variables, batch)`` — for sites that swap
+    checkpoints under one compiled program (and for benchmarking, where
+    baking would haul the weights through the host).
     """
     from jax import export as jexport
 
-    fn = jax.jit(make_serving_fn(model, variables, device_norm))
+    plats = list(platforms) if platforms is not None else None
     specs = serving_specs(sample_batch, polymorphic_batch)
-    return jexport.export(fn, platforms=list(platforms))(specs)
+    if bake_weights:
+        fn = jax.jit(make_serving_fn(model, variables, device_norm))
+        return jexport.export(fn, platforms=plats)(specs)
+
+    from simvg_tpu.engine.train import make_eval_step
+
+    eval_step = jax.jit(make_eval_step(model, device_norm=device_norm))
+    var_specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables)
+    return jexport.export(eval_step, platforms=plats)(var_specs, specs)
 
 
 def save_exported(path: str, exp) -> None:

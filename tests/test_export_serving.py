@@ -129,6 +129,38 @@ def test_export_int8_static_serving(model_and_vars, tmp_path):
     _assert_tree_equal(out, direct)
 
 
+def test_export_weights_as_argument(model_and_vars, tmp_path):
+    """``bake_weights=False``: one compiled artifact serves many
+    checkpoints — ``exp.call(variables, batch)``.  Bit-identical to the
+    in-process jit of the same weights-as-argument program; within fp32
+    fusion noise of the baked path (constants fold differently)."""
+    from simvg_tpu.engine.train import make_eval_step
+
+    model, variables = model_and_vars
+    batch = _batch()
+    direct = jax.jit(make_eval_step(model))(variables, batch)
+
+    exp = export_serving(model, variables, batch, platforms=("cpu",),
+                         bake_weights=False)
+    f = str(tmp_path / "m_arg.jaxexp")
+    save_exported(f, exp)
+    exp = load_exported(f)
+    _assert_tree_equal(exp.call(variables, batch), direct)
+
+    baked = jax.jit(make_serving_fn(model, variables))(batch)
+    for x, y in zip(jax.tree.leaves(direct), jax.tree.leaves(baked)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-4)
+
+    # A different checkpoint through the SAME artifact gives different
+    # (but finite) predictions — the weights really are an argument.
+    vars2 = model.init(jax.random.PRNGKey(7), **batch)
+    out2 = exp.call(vars2, batch)
+    assert bool(jnp.isfinite(out2["token"]["best_box"]).all())
+    assert not np.allclose(np.asarray(out2["token"]["best_score"]),
+                           np.asarray(direct["token"]["best_score"]))
+
+
 def test_export_cli_e2e(tmp_path):
     """tools/misc/export_serving.py end-to-end: export (random init,
     multi-platform, polymorphic) -> deserialize -> call."""
