@@ -1,0 +1,356 @@
+#!/usr/bin/env python
+"""Production serving server: HTTP + dynamic micro-batching over one
+compiled device program.
+
+No reference analogue — the reference's serving story is the live
+torch process (/root/reference/simvg/apis/inference.py:20-140); demos
+call the model per image.  The TPU-native deployment shape is
+different: ONE static-shape compiled program (batch padded to
+``--max-batch``), a batcher thread that coalesces concurrent requests
+into device batches (TPUs want large batched matmuls, not per-request
+calls), and a choice of backend:
+
+  * live:      --checkpoint  (config + orbax/converted checkpoint, jit)
+  * exported:  --exported m.jaxexp  (AOT artifact from
+               tools/misc/export_serving.py — no checkpoint needed;
+               weights are baked into the artifact)
+
+API (JSON over HTTP, stdlib only — no server deps at the serving site):
+
+  GET  /healthz   -> {"status": "ok", "backend": ..., "max_batch": N}
+  POST /predict   <- {"image_b64": <b64 jpeg/png>, "expression": str}
+                     (or {"image_path": str} for local files)
+                  -> {"token":   {"box": [x0,y0,x1,y1], "score": f},
+                      "decoder": {"box": [...], "score": f},
+                      "batch_size": n, "latency_ms": f}
+     optional "all": true adds per-query "boxes"/"scores" lists
+     (GRefCOCO-style multi-target output).
+
+Boxes are returned in ORIGINAL image coordinates (the resized-scale
+prediction divided by the pipeline's scale_factor, exactly like
+tools/demo.py).
+
+Static shapes: every device batch is padded to --max-batch by
+repeating the last request's sample, so the program compiles exactly
+once (at startup warmup) — a request never waits on XLA.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import os
+import os.path as osp
+import queue
+import sys
+import threading
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+class Preprocessor:
+    """Raw (BGR image, expression) -> pipeline sample dict, exactly the
+    val pipeline on a fabricated record (tools/demo.py:54-85)."""
+
+    def __init__(self, cfg):
+        import numpy as np
+
+        from simvg_tpu.data.builder import build_pipeline
+        from simvg_tpu.data.tokenization import build_tokenizer
+
+        self.np = np
+        self.tfs, load_cfg = build_pipeline(cfg.get("val_pipeline", []))
+        self.max_token = load_cfg.get("max_token",
+                                      cfg.get("max_token", 20))
+        self.tok = build_tokenizer(
+            load_cfg.get("use_token_type", "beit3"),
+            spm_path=load_cfg.get("spm_path",
+                                  cfg.get("tokenizer_spm")
+                                  or "pretrain_weights/beit3.spm"),
+        )
+
+    def __call__(self, img_bgr, expression: str) -> dict:
+        np = self.np
+        ids, mask = self.tok.encode(expression, self.max_token)
+        s = {
+            "img": img_bgr,
+            "ori_shape": img_bgr.shape,
+            "img_shape": img_bgr.shape,
+            "pad_shape": img_bgr.shape,
+            "scale_factor": np.ones(4, np.float32),
+            "with_bbox": False,
+            "with_mask": False,
+            "filename": "<request>",
+            "expression": expression,
+            "ref_expr_inds": ids,
+            "text_attention_mask": mask,
+        }
+        for t in self.tfs:
+            s = t(s)
+        return s
+
+
+class Batcher:
+    """Coalesce concurrent requests into one padded device batch."""
+
+    def __init__(self, run_batch, preproc, canvas: int, max_batch: int,
+                 timeout_ms: float):
+        self.run_batch = run_batch
+        self.preproc = preproc
+        self.canvas = canvas
+        self.max_batch = max_batch
+        self.timeout_s = timeout_ms / 1000.0
+        self.q: "queue.Queue" = queue.Queue()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def submit(self, img_bgr, expression: str, want_all: bool) -> dict:
+        """Called from HTTP handler threads; blocks until the batcher
+        thread has run this request's device batch."""
+        sample = self.preproc(img_bgr, expression)
+        ev = threading.Event()
+        slot = {"want_all": want_all}
+        self.q.put((sample, ev, slot))
+        if not ev.wait(timeout=120.0):
+            raise TimeoutError("device batch did not complete")
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["result"]
+
+    def _loop(self):
+        while True:
+            first = self.q.get()
+            items = [first]
+            deadline = time.monotonic() + self.timeout_s
+            while len(items) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    items.append(self.q.get(timeout=left))
+                except queue.Empty:
+                    break
+            try:
+                self._run(items)
+            except Exception as e:  # noqa: BLE001 — fan the error out
+                for _, ev, slot in items:
+                    slot["error"] = f"{type(e).__name__}: {e}"
+                    ev.set()
+
+    def _run(self, items):
+        import numpy as np
+
+        from simvg_tpu.data.loader import collate
+
+        n = len(items)
+        samples = [s for s, _, _ in items]
+        # pad to the one compiled shape; padded rows are real forwards
+        # of a repeated sample whose outputs are simply dropped
+        samples = samples + [samples[-1]] * (self.max_batch - n)
+        batch = collate(samples, canvas=self.canvas, max_gt=1)
+        t0 = time.monotonic()
+        preds = self.run_batch(batch)
+        preds = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+                 for k, v in preds.items()}
+        dt_ms = (time.monotonic() - t0) * 1000.0
+        for i, (_, ev, slot) in enumerate(items):
+            sf = batch["scale_factor"][i]
+            out = {"batch_size": n, "latency_ms": round(dt_ms, 2)}
+            for br in ("token", "decoder"):
+                r = {
+                    "box": (preds[br]["best_box"][i] / sf).tolist(),
+                    "score": float(preds[br]["best_score"][i]),
+                }
+                if slot["want_all"]:
+                    r["boxes"] = (preds[br]["boxes"][i]
+                                  / sf).tolist()
+                    r["scores"] = preds[br]["scores"][i].tolist()
+                out[br] = r
+            slot["result"] = out
+            ev.set()
+
+
+def _build_backend(args, cfg):
+    """-> (run_batch(batch)->preds, backend_name, img_size)."""
+    import jax
+    import jax.numpy as jnp
+
+    img_size = cfg.get("img_size", 640)
+
+    if args.exported:
+        from simvg_tpu.export import SERVING_INPUTS, load_exported
+
+        exp = load_exported(args.exported)
+        # a fixed-batch artifact dictates max_batch; polymorphic (dim
+        # "b") serves the server's padded shape directly
+        in_args, _ = jax.tree.unflatten(exp.in_tree,
+                                        list(exp.in_avals))
+        img_aval = in_args[0]["image"]
+        b0 = img_aval.shape[0]
+        if isinstance(b0, int):
+            if args.max_batch != b0:
+                print(f"[serve] exported artifact has fixed batch {b0}; "
+                      f"overriding --max-batch {args.max_batch} -> {b0}")
+                args.max_batch = b0
+        img_size = int(img_aval.shape[1])
+
+        def run_batch(batch):
+            return exp.call({k: jnp.asarray(batch[k])
+                             for k in SERVING_INPUTS})
+
+        return run_batch, f"exported:{osp.basename(args.exported)}", \
+            img_size
+
+    from simvg_tpu.engine.train import make_eval_step
+    from simvg_tpu.export import SERVING_INPUTS
+    from simvg_tpu.models.builder import build_model
+    from simvg_tpu.ops.quant import attach_static_quant
+    from simvg_tpu.utils.checkpoint import load_checkpoint
+
+    dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else jnp.float32
+    model, _ = build_model(cfg.model, img_size=img_size, dtype=dtype)
+    dummy = {
+        "image": jnp.zeros((args.max_batch, img_size, img_size, 3),
+                           jnp.float32),
+        "text_ids": jnp.zeros((args.max_batch,
+                               cfg.get("max_token", 20)), jnp.int32),
+        "text_padding_mask": jnp.zeros(
+            (args.max_batch, cfg.get("max_token", 20)), jnp.int32),
+        "img_shape": jnp.full((args.max_batch, 2), img_size, jnp.int32),
+    }
+    params = dict(model.init(jax.random.PRNGKey(0), **dummy))
+    quant_skel = params.pop("quant", None)
+    if args.checkpoint:
+        params = load_checkpoint(
+            args.checkpoint, params_template=params)["params"]
+    if quant_skel is not None:
+        params = attach_static_quant(params, quant_skel,
+                                     args.quant_collection)
+    step = jax.jit(make_eval_step(model))
+
+    def run_batch(batch):
+        return step(params, {k: jnp.asarray(batch[k])
+                             for k in SERVING_INPUTS})
+
+    name = ("live:" + osp.basename(args.checkpoint)
+            if args.checkpoint else "live:random-init")
+    return run_batch, name, img_size
+
+
+def _decode_image(req: dict):
+    import cv2
+    import numpy as np
+
+    if "image_b64" in req:
+        raw = base64.b64decode(req["image_b64"])
+        img = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                           cv2.IMREAD_COLOR)
+    elif "image_path" in req:
+        img = cv2.imread(req["image_path"], cv2.IMREAD_COLOR)
+    else:
+        raise ValueError("request needs image_b64 or image_path")
+    if img is None:
+        raise ValueError("could not decode image")
+    return img
+
+
+def main():
+    p = argparse.ArgumentParser(description="simvg_tpu serving server")
+    p.add_argument("config")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--exported", default=None,
+                   help=".jaxexp from tools/misc/export_serving.py "
+                        "(weights baked in; --checkpoint ignored)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8900)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--batch-timeout-ms", type=float, default=10.0,
+                   help="how long the batcher waits to coalesce "
+                        "requests before running a partial batch")
+    p.add_argument("--quant-collection", default=None)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    args = p.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from simvg_tpu.config import Config, parse_cfg_options
+
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_dict(parse_cfg_options(args.cfg_options))
+
+    run_batch, backend, img_size = _build_backend(args, cfg)
+    preproc = Preprocessor(cfg)
+    batcher = Batcher(run_batch, preproc, canvas=img_size,
+                      max_batch=args.max_batch,
+                      timeout_ms=args.batch_timeout_ms)
+
+    # warmup: compile the one static shape before accepting traffic
+    t0 = time.monotonic()
+    warm = np.zeros((img_size, img_size, 3), np.uint8)
+    batcher.submit(warm, "warmup", want_all=False)
+    print(f"[serve] warmup compile {time.monotonic() - t0:.1f}s "
+          f"(backend={backend}, max_batch={args.max_batch}, "
+          f"img_size={img_size})")
+
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet access log
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", "backend": backend,
+                                 "max_batch": args.max_batch,
+                                 "img_size": img_size})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                img = _decode_image(req)
+                expr = req["expression"]
+            except Exception as e:  # noqa: BLE001
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                out = batcher.submit(img, expr,
+                                     want_all=bool(req.get("all")))
+                self._json(200, out)
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": str(e)})
+
+    srv = ThreadingHTTPServer((args.host, args.port), Handler)
+    print(f"[serve] listening on http://{args.host}:{srv.server_port} "
+          f"(POST /predict)", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()
