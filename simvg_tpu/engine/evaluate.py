@@ -94,6 +94,13 @@ def evaluate(
                 # simvg/apis/test.py:81-88, 234-250): when a model
                 # emits per-image masks and the dataset carries GT RLE,
                 # accumulate aligned mask IoU + acc@thresholds.
+                # PRODUCER GAP: the SimVG model family is det-only —
+                # no shipped head emits "pred_masks" (the reference's
+                # mask path likewise serves only legacy SeqTR-style
+                # models it ships no configs for), so out["miou"] stays
+                # 0.0 for every shipped eval entry point today; a
+                # custom mask head only has to put "pred_masks" in its
+                # decoded predictions to light this up.
                 pm = p.get("pred_masks")
                 if pm is not None:
                     from simvg_tpu.ops import rle as rle_ops

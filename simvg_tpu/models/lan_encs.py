@@ -75,6 +75,14 @@ class BERTLanguageEncoder(nn.Module):
     - position_offset: roberta numbers positions from padding_idx+1 = 2
       for pad-at-end sequences (create_position_ids_from_input_ids);
       BERT uses 0.
+
+    COMPATIBILITY: round 3 re-architected this module pre-LN -> post-LN
+    (with renamed params: ln1_/ln2_ -> attn_ln_/ffn_ln_, embeddings_ln
+    after the sum) to match HF semantics.  A checkpoint saved with a
+    bert-type lan_enc before that change fails orbax restore with a
+    structure mismatch on lan_enc/ln1_*: those weights were trained
+    under different (pre-LN) semantics and cannot be mapped — retrain
+    or convert from the HF original.
     """
 
     vocab_size: int = 30522

@@ -232,6 +232,13 @@ class AutoRegressiveTransformer(nn.Module):
     def forward_decoder(self, seq_ids, memory, memory_pos, memory_mask,
                         deterministic=True):
         """seq_ids [B, L] coordinate tokens -> logits [B, L, vocab]."""
+        if seq_ids.shape[1] > self.max_seq_len:
+            # XLA clamps out-of-bounds gathers, which would silently
+            # duplicate the last position embedding instead of failing
+            raise ValueError(
+                f"sequence length {seq_ids.shape[1]} exceeds "
+                f"max_seq_len={self.max_seq_len}; for generate(), use "
+                f"steps <= max_seq_len - 1")
         emb = self.query_embedding(seq_ids)
         qpos = self.seq_pos(jnp.arange(seq_ids.shape[1]))
         mask = causal_mask(seq_ids.shape[1])

@@ -85,7 +85,11 @@ class Int8Dense(nn.Module):
         if self.mode == "calib":
             amax = self.variable("quant", "act_amax",
                                  lambda: jnp.zeros((), jnp.float32))
-            if (not self.is_initializing()
+            # x.size is static under trace; a zero-length segment (the
+            # single-modality encoder modes route (B, 0, D) slices
+            # through every dense) has no max identity and nothing to
+            # record.
+            if (x.size > 0 and not self.is_initializing()
                     and self.is_mutable_collection("quant")):
                 amax.value = jnp.maximum(
                     amax.value, jnp.abs(x.astype(jnp.float32)).max())
@@ -115,6 +119,11 @@ class Int8Dense(nn.Module):
 
         # dynamic: per-output-channel weight scale (axis 0 = input
         # features), per-tensor dynamic activation scale
+        if x.size == 0:
+            # zero-length segment: the activation max-reduction has no
+            # identity and the output is zero-size anyway.
+            y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+            return (y.astype(jnp.float32) + bias).astype(self.dtype)
         w_q, s_w = quantize_symmetric(kernel, axis=0)  # s_w: [features]
         x_q, s_x = quantize_symmetric(x)
         y = jax.lax.dot_general(
@@ -175,6 +184,27 @@ def build_quant_collection(params, quant_skeleton, act_amax=None,
     return traverse_util.unflatten_dict(out)
 
 
+def requantize_weights(params, quant_skeleton, qcol):
+    """Re-quantize w_q/s_w from ``params`` while keeping the calibrated
+    ``act_scale`` entries of ``qcol``.
+
+    Activation scales transfer across weight sets that share the same
+    activation statistics (EMA vs raw weights of the same run), but the
+    quantized weights must come from the params actually being served —
+    a calibration .npz built from the raw weights would silently serve
+    stale weights under ``--with-ema``.
+    """
+    from flax import traverse_util
+
+    fresh = build_quant_collection(params, quant_skeleton)
+    flat_f = traverse_util.flatten_dict(fresh)
+    flat_q = traverse_util.flatten_dict(qcol)
+    for path in flat_f:
+        if path[-1] == "act_scale" and path in flat_q:
+            flat_f[path] = jnp.asarray(flat_q[path], jnp.float32)
+    return traverse_util.unflatten_dict(flat_f)
+
+
 def save_quant_collection(path: str, qcol) -> None:
     """Persist a "quant" collection as .npz (keys = '/'-joined module
     paths) — the serving artifact produced by
@@ -197,18 +227,32 @@ def attach_static_quant(variables, quant_skel, quant_npz=None):
       off the restore template); ``None`` for non-quantized models, in
       which case ``variables`` is returned unchanged.
     - ``quant_npz`` is a calibrated artifact from
-      tools/misc/quantize_serving.py; when absent the LOADED weights
-      are pre-quantized on the fly (activation scales default 1.0 —
-      prefer a calibrated artifact).
+      tools/misc/quantize_serving.py; its ``act_scale`` entries are
+      kept while w_q/s_w are re-quantized from the params being
+      attached (so EMA weights get EMA quantization, not the raw
+      weights baked into the .npz). When absent the loaded weights are
+      pre-quantized on the fly with activation scales defaulting to
+      1.0 — post-LN activations routinely exceed 1, so this SATURATES
+      and is only usable for smoke tests; a loud warning is emitted.
     """
     if quant_npz is not None:
         if quant_skel is None:
             raise SystemExit(
                 "--quant-collection given but the model has no quant "
                 "layers; set model.vis_enc.quant=int8_static")
+        qcol = load_quant_collection(quant_npz)
         variables = dict(variables)
-        variables["quant"] = load_quant_collection(quant_npz)
+        variables["quant"] = jax.jit(
+            lambda p: requantize_weights(p, quant_skel, qcol)
+        )(variables["params"])
     elif quant_skel is not None:
+        import logging
+
+        logging.getLogger("simvg_tpu").warning(
+            "int8_static without --quant-collection: activation scales "
+            "default to 1.0, which saturates post-LN activations and "
+            "destroys accuracy. Calibrate with "
+            "tools/misc/quantize_serving.py and pass the .npz.")
         variables = dict(variables)
         variables["quant"] = jax.jit(
             lambda p: build_quant_collection(p, quant_skel)

@@ -87,6 +87,44 @@ def test_test_cli_multi_split_eval(smoke_ckpt, tmp_path):
         proc.stdout[-500:], proc.stderr[-500:])
 
 
+def test_demo_cli_single_image(smoke_ckpt, tmp_path):
+    """tools/demo.py end-to-end (reference tools/demo.py:16-121): one
+    raw image + free-text expression through the shared RawPreprocessor
+    (data/raw.py) -> box in ORIGINAL image coordinates + visualization."""
+    import cv2
+    import numpy as np
+
+    root, ckpt = smoke_ckpt
+    img_file = str(tmp_path / "raw.jpg")
+    h, w = 96, 128  # non-square: exercises the rescale-to-original path
+    cv2.imwrite(img_file, np.random.default_rng(3).integers(
+        0, 255, (h, w, 3), np.uint8))
+    out = tmp_path / "demo_out"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [
+        sys.executable, "tools/demo.py",
+        "--config", "configs/smoke/tiny_synth.py",
+        "--checkpoint", ckpt, "--img", img_file,
+        "--expression", "the red box",
+        "--output-dir", str(out), "--platform", "cpu",
+    ]
+    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    vis = out / "raw_pred.jpg"
+    assert vis.exists() and os.path.getsize(vis) > 0
+    # the printed box is in original-image scale
+    import re
+
+    m = re.search(r"box \(xyxy, original scale\): \[([^\]]+)\]",
+                  proc.stdout)
+    assert m, proc.stdout[-500:]
+    box = [float(x) for x in m.group(1).split(",")]
+    assert all(np.isfinite(box))
+    assert 0 <= max(box) <= max(h, w) + 1
+
+
 def test_int8_static_calibrate_then_eval(smoke_ckpt, tmp_path):
     """Serving quantization e2e (ops/quant.py, no reference analogue):
     tools/misc/quantize_serving.py calibrates an int8_static artifact

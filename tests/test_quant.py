@@ -208,3 +208,87 @@ def test_quant_collection_npz_roundtrip_and_attach(tmp_path):
 
     # non-quant model: variables pass through untouched
     assert attach_static_quant(vars0, None) is vars0
+
+
+def test_attach_requantizes_weights_from_given_params(tmp_path):
+    """attach_static_quant(ema_params, skel, npz) must quantize the
+    weights of the params being ATTACHED while keeping the npz's
+    calibrated activation scales — serving EMA weights with the raw
+    weights' w_q (or with act_scale reset to 1.0, which saturates) was
+    the round-3 review's top finding."""
+    from flax import traverse_util
+
+    from simvg_tpu.models.beit3 import BEiT3Config, BEiT3Encoder
+    from simvg_tpu.ops.quant import (
+        attach_static_quant,
+        build_quant_collection,
+        save_quant_collection,
+    )
+
+    kw = dict(img_size=32, patch_size=16, embed_dim=32, num_heads=4,
+              ffn_dim=64, num_layers=2, vocab_size=60,
+              drop_path_rate=0.0, dtype=jnp.float32)
+    img, ids, pad = _tiny_inputs()
+    enc = BEiT3Encoder(BEiT3Config(quant="int8_static", **kw))
+    vars0 = dict(enc.init(jax.random.PRNGKey(0), img, ids, pad))
+    skel = vars0.pop("quant")
+
+    # calibrate on the raw weights -> realistic (non-1.0) act scales
+    calib = BEiT3Encoder(BEiT3Config(quant="int8_calib", **kw))
+    _, mut = calib.apply({"params": vars0["params"]}, img, ids, pad,
+                         mutable=["quant"])
+    qcol = build_quant_collection(vars0["params"], skel,
+                                  act_amax=mut["quant"])
+    f = str(tmp_path / "q.npz")
+    save_quant_collection(f, jax.device_get(qcol))
+
+    # "EMA" weights: a perturbed copy of the raw params
+    ema_params = jax.tree.map(lambda x: x * 1.5, vars0["params"])
+    v = attach_static_quant({"params": ema_params}, skel, quant_npz=f)
+
+    flat_q = traverse_util.flatten_dict(v["quant"])
+    flat_npz = traverse_util.flatten_dict(qcol)
+    fresh = traverse_util.flatten_dict(
+        build_quant_collection(ema_params, skel))
+    saw_w, saw_a = False, False
+    for path, leaf in flat_q.items():
+        if path[-1] in ("w_q", "s_w"):
+            # weights must come from the EMA params, not the npz
+            # (jit-vs-eager reduction order gives ~1e-11 noise; a
+            # boundary round can shift one int8 step)
+            np.testing.assert_allclose(
+                np.asarray(leaf, np.float32),
+                np.asarray(fresh[path], np.float32),
+                rtol=1e-5, atol=1.0 if path[-1] == "w_q" else 0.0)
+            if path[-1] == "s_w":
+                assert not np.allclose(np.asarray(leaf),
+                                       np.asarray(flat_npz[path]))
+            saw_w = True
+        elif path[-1] == "act_scale":
+            # activation scales must come from the calibrated npz
+            np.testing.assert_array_equal(np.asarray(leaf),
+                                          np.asarray(flat_npz[path]))
+            assert float(np.asarray(leaf).max()) != 1.0
+            saw_a = True
+    assert saw_w and saw_a
+
+
+def test_int8_empty_segment_single_modality():
+    """Vision-only / text-only encodes route a zero-length segment
+    through every dense; dynamic and calib quantization must not
+    reduce over the empty array (review finding: ValueError 'zero-size
+    array to reduction operation max')."""
+    from simvg_tpu.models.beit3 import BEiT3Config, BEiT3Encoder
+
+    kw = dict(img_size=32, patch_size=16, embed_dim=32, num_heads=4,
+              ffn_dim=64, num_layers=2, vocab_size=60,
+              drop_path_rate=0.0, dtype=jnp.float32)
+    img, ids, pad = _tiny_inputs()
+    for mode in ("int8", "int8_calib", "int8_static"):
+        enc = BEiT3Encoder(BEiT3Config(quant=mode, **kw))
+        v = enc.init(jax.random.PRNGKey(0), img, ids, pad)
+        iv, _, _ = enc.apply(v, images=img)  # vision-only
+        assert np.all(np.isfinite(np.asarray(iv)))
+        _, tv, _ = enc.apply(v, text_ids=ids,
+                             text_padding_mask=pad)  # text-only
+        assert np.all(np.isfinite(np.asarray(tv)))

@@ -149,6 +149,56 @@ def test_serve_dynamic_batching(live_server):
     assert max(sizes) > 1, sizes
 
 
+def test_serve_weights_as_argument_artifact(tmp_path):
+    """A bake_weights=False artifact (weights are an argument, not
+    baked constants) must demand --checkpoint with an actionable error,
+    and serve bit-identically to the live eval step once given one."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import serve as serve_mod
+    from simvg_tpu.config import Config
+    from simvg_tpu.engine.train import make_eval_step
+    from simvg_tpu.export import export_serving, save_exported
+    from simvg_tpu.models.builder import build_model
+    from simvg_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = Config.fromfile(os.path.join(REPO, CFG))
+    img_size = cfg.get("img_size", 64)
+    max_batch = 2
+    model, _ = build_model(cfg.model, img_size=img_size,
+                           dtype=jnp.float32)
+    t = cfg.get("max_token", 20)
+    dummy = dict(
+        image=jnp.zeros((max_batch, img_size, img_size, 3),
+                        jnp.float32),
+        text_ids=jnp.zeros((max_batch, t), jnp.int32),
+        text_padding_mask=jnp.zeros((max_batch, t), jnp.int32),
+        img_shape=jnp.full((max_batch, 2), img_size, jnp.int32))
+    variables = dict(model.init(jax.random.PRNGKey(1), **dummy))
+    exp = export_serving(model, variables, dummy, platforms=("cpu",),
+                         bake_weights=False)
+    f = str(tmp_path / "wa.jaxexp")
+    save_exported(f, exp)
+
+    args = argparse.Namespace(exported=f, checkpoint=None, max_batch=2,
+                              quant_collection=None)
+    with pytest.raises(SystemExit, match="bake_weights=False"):
+        serve_mod._build_backend(args, cfg)
+
+    args.checkpoint = save_checkpoint(str(tmp_path), "ckpt",
+                                      params=variables, block=True)
+    run_batch, name, size = serve_mod._build_backend(args, cfg)
+    assert name.startswith("exported:") and size == img_size
+    out = run_batch({k: np.asarray(v) for k, v in dummy.items()})
+    direct = jax.jit(make_eval_step(model))(variables, dummy)
+    for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(direct)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_serve_exported_backend(tmp_path):
     """--exported: serve the AOT artifact (fixed batch 4 overrides
     --max-batch; no checkpoint or model code needed at runtime)."""

@@ -37,9 +37,8 @@ def main():
     import numpy as np
 
     from simvg_tpu.config import Config
-    from simvg_tpu.data.builder import build_pipeline
     from simvg_tpu.data.loader import collate
-    from simvg_tpu.data.tokenization import build_tokenizer
+    from simvg_tpu.data.raw import RawPreprocessor
     from simvg_tpu.engine.train import make_eval_step
     from simvg_tpu.models.builder import build_model
     from simvg_tpu.utils.checkpoint import load_checkpoint
@@ -51,38 +50,12 @@ def main():
     model, _ = build_model(cfg.model, img_size=img_size, dtype=dtype)
 
     # val pipeline on a raw source (LoadFromRawSource equivalent,
-    # reference demo.py:57-75)
-    tfs, load_cfg = build_pipeline(cfg.get("val_pipeline", []))
-    max_token = load_cfg.get("max_token", cfg.get("max_token", 20))
-    # same tokenizer resolution as the datasets (builder.py:89): the
-    # spm path lives in the pipeline's load op, with the same default —
-    # a mismatched vocab here would silently feed garbage ids into a
-    # model trained with the real beit3.spm
-    tok = build_tokenizer(
-        load_cfg.get("use_token_type", "beit3"),
-        spm_path=load_cfg.get("spm_path",
-                              cfg.get("tokenizer_spm")
-                              or "pretrain_weights/beit3.spm"),
-    )
+    # reference demo.py:57-75); shared with tools/serve.py
+    preproc = RawPreprocessor(cfg)
 
     img = cv2.imread(args.img, cv2.IMREAD_COLOR)
     assert img is not None, args.img
-    ids, mask = tok.encode(args.expression, max_token)
-    s = {
-        "img": img,
-        "ori_shape": img.shape,
-        "img_shape": img.shape,
-        "pad_shape": img.shape,
-        "scale_factor": np.ones(4, np.float32),
-        "with_bbox": False,
-        "with_mask": False,
-        "filename": args.img,
-        "expression": args.expression,
-        "ref_expr_inds": ids,
-        "text_attention_mask": mask,
-    }
-    for t in tfs:
-        s = t(s)
+    s = preproc(img, args.expression, filename=args.img)
     batch = collate([s], canvas=img_size, max_gt=1)
 
     params = dict(model.init(
@@ -101,7 +74,7 @@ def main():
 
         params = attach_static_quant(params, quant_skel)
 
-    step = jax.jit(make_eval_step(model))
+    step = jax.jit(make_eval_step(model, device_norm=preproc.device_norm))
     preds = step(params, {k: v for k, v in batch.items() if k != "meta"})
     best = np.asarray(preds[args.branch]["best_box"][0])
     score = float(preds[args.branch]["best_score"][0])

@@ -84,16 +84,21 @@ def main():
     dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else jnp.float32
     model, _ = build_model(cfg.model, img_size=img_size, dtype=dtype)
 
+    norm_on_device = cfg.get("normalize_on_device", False)
     ds = build_dataset_from_cfg(cfg.data["val"],
-                                dataset_type=cfg.get("dataset"))
+                                dataset_type=cfg.get("dataset"),
+                                normalize_on_device=norm_on_device)
     loader = build_loader_from_cfg(ds, cfg, train=False,
                                    canvas=img_size)
     sample = next(iter(loader))
     batch = {k: jnp.asarray(sample[k]) for k in SERVING_INPUTS}
     if args.batch_size:
-        batch = {k: (jnp.repeat(v, args.batch_size, axis=0)
-                     if v.shape[0] < args.batch_size
-                     else v[:args.batch_size])
+        n = args.batch_size
+        # tile whole batches then slice, so the leading dim is exactly
+        # n (jnp.repeat would give b0*n: it repeats each ROW n times)
+        batch = {k: (jnp.concatenate(
+                        [v] * (-(-n // v.shape[0])), axis=0)[:n]
+                     if v.shape[0] != n else v)
                  for k, v in batch.items()}
 
     variables = dict(model.init(jax.random.PRNGKey(0), **batch))
@@ -104,7 +109,6 @@ def main():
     variables = attach_static_quant(variables, quant_skel,
                                     args.quant_collection)
 
-    norm_on_device = cfg.get("normalize_on_device", False)
     device_norm = (dict(cfg.get("img_norm_cfg", {})) or None) \
         if norm_on_device else None
     exp = export_serving(model, variables, batch,

@@ -50,70 +50,34 @@ import time
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
-class Preprocessor:
-    """Raw (BGR image, expression) -> pipeline sample dict, exactly the
-    val pipeline on a fabricated record (tools/demo.py:54-85)."""
-
-    def __init__(self, cfg):
-        import numpy as np
-
-        from simvg_tpu.data.builder import build_pipeline
-        from simvg_tpu.data.tokenization import build_tokenizer
-
-        self.np = np
-        self.tfs, load_cfg = build_pipeline(cfg.get("val_pipeline", []))
-        self.max_token = load_cfg.get("max_token",
-                                      cfg.get("max_token", 20))
-        self.tok = build_tokenizer(
-            load_cfg.get("use_token_type", "beit3"),
-            spm_path=load_cfg.get("spm_path",
-                                  cfg.get("tokenizer_spm")
-                                  or "pretrain_weights/beit3.spm"),
-        )
-
-    def __call__(self, img_bgr, expression: str) -> dict:
-        np = self.np
-        ids, mask = self.tok.encode(expression, self.max_token)
-        s = {
-            "img": img_bgr,
-            "ori_shape": img_bgr.shape,
-            "img_shape": img_bgr.shape,
-            "pad_shape": img_bgr.shape,
-            "scale_factor": np.ones(4, np.float32),
-            "with_bbox": False,
-            "with_mask": False,
-            "filename": "<request>",
-            "expression": expression,
-            "ref_expr_inds": ids,
-            "text_attention_mask": mask,
-        }
-        for t in self.tfs:
-            s = t(s)
-        return s
-
-
 class Batcher:
     """Coalesce concurrent requests into one padded device batch."""
 
     def __init__(self, run_batch, preproc, canvas: int, max_batch: int,
-                 timeout_ms: float):
+                 timeout_ms: float, request_timeout_s: float = 120.0):
         self.run_batch = run_batch
         self.preproc = preproc
         self.canvas = canvas
         self.max_batch = max_batch
         self.timeout_s = timeout_ms / 1000.0
+        self.request_timeout_s = request_timeout_s
         self.q: "queue.Queue" = queue.Queue()
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
-    def submit(self, img_bgr, expression: str, want_all: bool) -> dict:
+    def submit(self, img_bgr, expression: str, want_all: bool,
+               timeout_s: float | None = None) -> dict:
         """Called from HTTP handler threads; blocks until the batcher
-        thread has run this request's device batch."""
-        sample = self.preproc(img_bgr, expression)
+        thread has run this request's device batch.  ``timeout_s``
+        overrides the default per-request timeout (the startup warmup
+        passes a much larger one: the one-time XLA compile can take
+        minutes on a remote-compile runtime)."""
+        sample = self.preproc(img_bgr, expression,
+                              filename="<request>")
         ev = threading.Event()
         slot = {"want_all": want_all}
         self.q.put((sample, ev, slot))
-        if not ev.wait(timeout=120.0):
+        if not ev.wait(timeout=timeout_s or self.request_timeout_s):
             raise TimeoutError("device batch did not complete")
         if "error" in slot:
             raise RuntimeError(slot["error"])
@@ -172,39 +136,12 @@ class Batcher:
             ev.set()
 
 
-def _build_backend(args, cfg):
-    """-> (run_batch(batch)->preds, backend_name, img_size)."""
+def _load_variables(args, cfg, img_size: int):
+    """Build the model and restore serving variables (params + quant)
+    — shared by the live backend and weights-as-argument artifacts."""
     import jax
     import jax.numpy as jnp
 
-    img_size = cfg.get("img_size", 640)
-
-    if args.exported:
-        from simvg_tpu.export import SERVING_INPUTS, load_exported
-
-        exp = load_exported(args.exported)
-        # a fixed-batch artifact dictates max_batch; polymorphic (dim
-        # "b") serves the server's padded shape directly
-        in_args, _ = jax.tree.unflatten(exp.in_tree,
-                                        list(exp.in_avals))
-        img_aval = in_args[0]["image"]
-        b0 = img_aval.shape[0]
-        if isinstance(b0, int):
-            if args.max_batch != b0:
-                print(f"[serve] exported artifact has fixed batch {b0}; "
-                      f"overriding --max-batch {args.max_batch} -> {b0}")
-                args.max_batch = b0
-        img_size = int(img_aval.shape[1])
-
-        def run_batch(batch):
-            return exp.call({k: jnp.asarray(batch[k])
-                             for k in SERVING_INPUTS})
-
-        return run_batch, f"exported:{osp.basename(args.exported)}", \
-            img_size
-
-    from simvg_tpu.engine.train import make_eval_step
-    from simvg_tpu.export import SERVING_INPUTS
     from simvg_tpu.models.builder import build_model
     from simvg_tpu.ops.quant import attach_static_quant
     from simvg_tpu.utils.checkpoint import load_checkpoint
@@ -228,7 +165,70 @@ def _build_backend(args, cfg):
     if quant_skel is not None:
         params = attach_static_quant(params, quant_skel,
                                      args.quant_collection)
-    step = jax.jit(make_eval_step(model))
+    return model, params
+
+
+def _build_backend(args, cfg):
+    """-> (run_batch(batch)->preds, backend_name, img_size)."""
+    import jax
+    import jax.numpy as jnp
+
+    img_size = cfg.get("img_size", 640)
+
+    if args.exported:
+        from simvg_tpu.export import SERVING_INPUTS, load_exported
+
+        exp = load_exported(args.exported)
+        # calling convention: (batch,) for a weights-baked artifact,
+        # (variables, batch) for bake_weights=False (export.py:74-105)
+        in_args, _ = jax.tree.unflatten(exp.in_tree,
+                                        list(exp.in_avals))
+        weights_as_arg = len(in_args) == 2
+        batch_aval = in_args[-1]
+        # a fixed-batch artifact dictates max_batch; polymorphic (dim
+        # "b") serves the server's padded shape directly
+        img_aval = batch_aval["image"]
+        b0 = img_aval.shape[0]
+        if isinstance(b0, int):
+            if args.max_batch != b0:
+                print(f"[serve] exported artifact has fixed batch {b0}; "
+                      f"overriding --max-batch {args.max_batch} -> {b0}")
+                args.max_batch = b0
+        img_size = int(img_aval.shape[1])
+
+        if weights_as_arg:
+            # bake_weights=False artifact: weights are the first
+            # argument — restore them from --checkpoint
+            if not args.checkpoint:
+                raise SystemExit(
+                    f"{args.exported} was exported with "
+                    "bake_weights=False (weights are an argument, not "
+                    "baked constants); pass --checkpoint to restore "
+                    "the weights to serve with it")
+            _, variables = _load_variables(args, cfg, img_size)
+
+            def run_batch(batch):
+                return exp.call(variables,
+                                {k: jnp.asarray(batch[k])
+                                 for k in SERVING_INPUTS})
+        else:
+            def run_batch(batch):
+                return exp.call({k: jnp.asarray(batch[k])
+                                 for k in SERVING_INPUTS})
+
+        return run_batch, f"exported:{osp.basename(args.exported)}", \
+            img_size
+
+    from simvg_tpu.engine.train import make_eval_step
+    from simvg_tpu.export import SERVING_INPUTS
+
+    model, params = _load_variables(args, cfg, img_size)
+    # normalize_on_device configs leave images uint8 on the host and
+    # fuse normalization into the forward (same plumbing as
+    # tools/test.py:150-152)
+    device_norm = (dict(cfg.get("img_norm_cfg", {})) or None) \
+        if cfg.get("normalize_on_device", False) else None
+    step = jax.jit(make_eval_step(model, device_norm=device_norm))
 
     def run_batch(batch):
         return step(params, {k: jnp.asarray(batch[k])
@@ -269,6 +269,12 @@ def main():
     p.add_argument("--batch-timeout-ms", type=float, default=10.0,
                    help="how long the batcher waits to coalesce "
                         "requests before running a partial batch")
+    p.add_argument("--request-timeout-s", type=float, default=120.0,
+                   help="per-request wait for the device batch")
+    p.add_argument("--warmup-timeout-s", type=float, default=1800.0,
+                   help="wait for the one-time startup compile (a "
+                        "remote XLA compiler can take minutes on the "
+                        "flagship program)")
     p.add_argument("--quant-collection", default=None)
     p.add_argument("--platform", default=None)
     p.add_argument("--cfg-options", nargs="*", default=[])
@@ -288,16 +294,20 @@ def main():
     cfg = Config.fromfile(args.config)
     cfg.merge_from_dict(parse_cfg_options(args.cfg_options))
 
+    from simvg_tpu.data.raw import RawPreprocessor
+
     run_batch, backend, img_size = _build_backend(args, cfg)
-    preproc = Preprocessor(cfg)
+    preproc = RawPreprocessor(cfg)
     batcher = Batcher(run_batch, preproc, canvas=img_size,
                       max_batch=args.max_batch,
-                      timeout_ms=args.batch_timeout_ms)
+                      timeout_ms=args.batch_timeout_ms,
+                      request_timeout_s=args.request_timeout_s)
 
     # warmup: compile the one static shape before accepting traffic
     t0 = time.monotonic()
     warm = np.zeros((img_size, img_size, 3), np.uint8)
-    batcher.submit(warm, "warmup", want_all=False)
+    batcher.submit(warm, "warmup", want_all=False,
+                   timeout_s=args.warmup_timeout_s)
     print(f"[serve] warmup compile {time.monotonic() - t0:.1f}s "
           f"(backend={backend}, max_batch={args.max_batch}, "
           f"img_size={img_size})")

@@ -159,11 +159,13 @@ def main():
         logger.info(f"[{s}] " + ", ".join(
             f"{k}: {v:.2f}" for k, v in m.items()))
         if args.with_ema and ck.get("ema_params") is not None:
-            # quant weights must come from the EMA params (the .npz was
-            # calibrated on the raw weights), so rebuild on the fly
+            # quant weights are re-quantized from the EMA params while
+            # the .npz's calibrated activation scales are kept
+            # (attach_static_quant semantics)
             m = evaluate(model,
                          shard_params(attach_static_quant(
-                             ck["ema_params"], quant_skel), mesh),
+                             ck["ema_params"], quant_skel,
+                             args.quant_collection), mesh),
                          loader, is_grec=is_grec, eval_step=eval_step,
                          put_fn=eval_put)
             logger.info(f"[{s}][EMA] " + ", ".join(
