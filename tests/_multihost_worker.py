@@ -11,7 +11,12 @@ pid = int(sys.argv[1])
 nproc = int(sys.argv[2])
 port = sys.argv[3]
 
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=2"
+    # don't let XLA:CPU's 40s rendezvous abort kill a starved worker
+    # on the 1-core CI box (see tests/conftest.py)
+    " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+    " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

@@ -23,7 +23,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _run_cli(work_dir, synth_root, spg, ndev):
     env = dict(os.environ)
-    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={ndev}"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
     env["JAX_PLATFORMS"] = "cpu"
     cmd = [
         sys.executable, "tools/train.py", "configs/smoke/tiny_synth.py",
