@@ -204,3 +204,52 @@ def test_export_cli_e2e(tmp_path):
     ))
     assert preds["token"]["best_box"].shape == (b, 4)
     assert bool(jnp.isfinite(preds["token"]["best_box"]).all())
+
+
+def test_export_cli_normalize_on_device(tmp_path):
+    """normalize_on_device configs must export with the host Normalize
+    op STRIPPED (uint8 input spec) and device normalization baked —
+    building the sample from a host-normalized loader while also baking
+    device_norm double-normalized every input (round-3 review)."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    from util_synth import make_refcoco_style
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = tmp_path / "synth"
+    make_refcoco_style(str(root), n_train=2, n_val=2)
+    out = str(tmp_path / "m.jaxexp")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [
+        _sys.executable, "tools/misc/export_serving.py",
+        "configs/smoke/tiny_synth.py", "--platform", "cpu",
+        "--target-platforms", "cpu", "--out", out, "--cfg-options",
+        "normalize_on_device=True",
+        f"data.val.annsfile={root}/instances.json",
+        f"data.val.imgsfile={root}/images",
+    ]
+    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    meta = json.loads(proc.stdout.strip().splitlines()[-1])
+    # the artifact's contract is RAW uint8 images
+    assert meta["inputs"]["image"][1] == "uint8", meta["inputs"]
+
+    # and it normalizes internally: uint8 in -> finite boxes out
+    exp = load_exported(out)
+    b = meta["inputs"]["image"][0][0]
+    t = meta["inputs"]["text_ids"][0][1]
+    img = meta["img_size"]
+    r = np.random.default_rng(0)
+    preds = exp.call(dict(
+        image=jnp.asarray(r.integers(0, 255, (b, img, img, 3)),
+                          jnp.uint8),
+        text_ids=jnp.asarray(r.integers(1, 100, (b, t)), jnp.int32),
+        text_padding_mask=jnp.zeros((b, t), jnp.int32),
+        img_shape=jnp.asarray([[img, img]] * b, jnp.int32),
+    ))
+    assert bool(jnp.isfinite(preds["token"]["best_box"]).all())
