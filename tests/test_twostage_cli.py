@@ -62,3 +62,35 @@ def test_twostage_flow(tmp_path):
     # balanced distill active: token + distill losses present and finite
     assert "loss_tgt" in last and np.isfinite(last["loss_tgt"]), last
     assert "loss_kd" in last and np.isfinite(last["loss_kd"]), last
+
+    # EMA + int8_static serving through tools/test.py: the EMA pass
+    # must re-quantize weights from the EMA params while KEEPING the
+    # .npz's calibrated activation scales (before the round-3 fix the
+    # EMA path rebuilt the collection with act_scale=1.0, silently
+    # saturating every activation)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    data_opts = [
+        f"data.train.annsfile={root}/instances.json",
+        f"data.train.imgsfile={root}/images",
+        f"data.val.annsfile={root}/instances.json",
+        f"data.val.imgsfile={root}/images",
+    ]
+    npz = str(tmp_path / "q.npz")
+    proc = subprocess.run(
+        [sys.executable, "tools/misc/quantize_serving.py",
+         "configs/smoke/tiny_synth_stage1.py", str(s1 / "latest"),
+         "--platform", "cpu", "--num-batches", "1", "--out", npz,
+         "--cfg-options", *data_opts],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    proc = subprocess.run(
+        [sys.executable, "tools/test.py",
+         "configs/smoke/tiny_synth_stage1.py", str(s1 / "latest"),
+         "--platform", "cpu", "--with-ema", "--quant-collection", npz,
+         "--cfg-options", "model.vis_enc.quant=int8_static",
+         *data_opts],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    logs = proc.stdout + proc.stderr
+    assert "[val]" in logs and "[val][EMA]" in logs, logs[-800:]
