@@ -574,22 +574,47 @@ def _emit(base_infer, extra):
     }))
 
 
+def _emit_error(e: BaseException, retries: int) -> None:
+    """Self-describing record when the TPU backend stayed unavailable
+    through every fresh-process retry: value 0.0 = "did not measure"
+    (see extra.error), never silence — the driver archives whatever
+    this prints."""
+    print(json.dumps({
+        "metric": "rec_inference_images_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+        "baseline_note": "reference publishes no in-repo throughput; "
+                         "120 img/s RTX3090 is a documented estimate",
+        "extra": {
+            "error": (f"TPU backend unavailable after {retries} "
+                      f"fresh-process retries: "
+                      f"{type(e).__name__}: {e}")[:400],
+            "last_known_good": "BENCH_r02.json: 1137.7 img/s/chip",
+        },
+    }))
+
+
 if __name__ == "__main__":
     try:
         main()
-    except Exception:  # noqa: BLE001
+    except Exception as e:  # noqa: BLE001
         # A crashed TPU worker poisons the in-process backend — only a
-        # FRESH process recovers (worker restarts in ~1-2 min).  Re-exec
-        # once after a cooldown so a transient crash mid-bench still
-        # produces the JSON line.
+        # FRESH process recovers (worker restarts in ~1-2 min; a
+        # degraded tunnel can take longer).  Re-exec with cooldowns so
+        # a transient outage mid-bench still produces the JSON line.
         import os
         import traceback
 
         traceback.print_exc(file=sys.stderr)
-        if os.environ.get("BENCH_REEXEC"):
-            raise
-        print("# bench: fatal backend error — re-exec in a fresh "
-              "process after 180s cooldown", file=sys.stderr, flush=True)
+        n = int(os.environ.get("BENCH_REEXEC", "0"))
+        if n >= 4:
+            # ~15 min of fresh-process retries exhausted
+            _emit_error(e, n)
+            sys.exit(1)
+        print(f"# bench: fatal backend error — re-exec {n + 1}/4 in a "
+              "fresh process after 180s cooldown", file=sys.stderr,
+              flush=True)
         time.sleep(180)
-        os.environ["BENCH_REEXEC"] = "1"
+        os.environ["BENCH_REEXEC"] = str(n + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)

@@ -82,6 +82,12 @@ def main():
     m_cal = model_with_quant("int8_calib")
     m_st = model_with_quant("int8_static")
 
+    # normalize_on_device is deliberately NOT forwarded here: the
+    # calibration feeds host-normalized images straight to model.apply
+    # (no device-norm wrapper), which produces the same activations the
+    # serving path sees after ITS device-side normalization — do not
+    # "fix" this into passing the flag without also wrapping calib_step
+    # in normalize_images_on_device.
     ds = build_dataset_from_cfg(cfg.data[args.which_set],
                                 dataset_type=cfg.get("dataset"))
     loader = build_loader_from_cfg(ds, cfg, train=False,
