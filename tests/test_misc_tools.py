@@ -1,0 +1,106 @@
+"""Smoke tests for the qualitative/profiling misc CLIs (reference
+tools/misc/*: browse_dataset, dataset_token_count, parameters,
+inference_time, attn_visual, vis_cam, heatmap — SURVEY.md §2.1) and the
+parity probe.  These tools previously had zero automated coverage; each
+test runs the real CLI in a subprocess on synthetic data / random init
+and asserts its contract (files written, stats printed, diffs small).
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+from util_synth import make_refcoco_style
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG = "configs/smoke/tiny_synth.py"
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    make_refcoco_style(str(root), n_train=6, n_val=4)
+    return root
+
+
+def _run(cmd, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=timeout)
+    assert proc.returncode == 0, (proc.stdout[-1500:],
+                                  proc.stderr[-1500:])
+    return proc
+
+
+def _data_opts(root):
+    return [
+        f"data.train.annsfile={root}/instances.json",
+        f"data.train.imgsfile={root}/images",
+        f"data.val.annsfile={root}/instances.json",
+        f"data.val.imgsfile={root}/images",
+    ]
+
+
+def test_parameters_tool():
+    proc = _run([sys.executable, "tools/misc/parameters.py", CFG,
+                 "--platform", "cpu"])
+    # per-submodule + total counts (reference counts decoder params)
+    assert re.search(r"\d", proc.stdout), proc.stdout
+
+
+def test_dataset_token_count(synth):
+    proc = _run([sys.executable, "tools/misc/dataset_token_count.py",
+                 f"{synth}/instances.json", "--split", "train",
+                 "--tokenizer", "beit3"])
+    assert re.search(r"\d", proc.stdout), proc.stdout
+
+
+def test_browse_dataset(synth, tmp_path):
+    out = tmp_path / "browse"
+    _run([sys.executable, "tools/misc/browse_dataset.py", CFG,
+          "--which-set", "train", "--output-dir", str(out),
+          "--num", "2", "--platform", "cpu",
+          "--cfg-options", *_data_opts(synth)])
+    files = os.listdir(out)
+    assert len(files) >= 2, files
+    assert all(os.path.getsize(out / f) > 0 for f in files)
+
+
+def test_inference_time(synth):
+    proc = _run([sys.executable, "tools/misc/inference_time.py", CFG,
+                 "--batch-size", "2", "--iters", "3", "--warmup", "1",
+                 "--platform", "cpu"])
+    # latency percentiles + FLOPs analysis in the output
+    assert re.search(r"p50|median", proc.stdout, re.I), proc.stdout
+
+
+@pytest.mark.parametrize("tool", ["attn_visual", "vis_cam", "heatmap"])
+def test_visualization_tools(synth, tmp_path, tool):
+    out = tmp_path / tool
+    _run([sys.executable, f"tools/misc/{tool}.py", CFG,
+          "--which-set", "val", "--output-dir", str(out),
+          "--num", "2", "--platform", "cpu",
+          "--cfg-options", *_data_opts(synth)])
+    files = os.listdir(out)
+    assert len(files) >= 1, files
+    assert all(os.path.getsize(out / f) > 0 for f in files)
+
+
+def test_parity_probe_on_tiny_fixture():
+    """Per-layer torch-vs-JAX diff on the checked-in miniature .pth:
+    every layer diff must be at fp32 noise level (the tool's purpose is
+    localizing conversion bugs, so nonzero-but-tiny is the pass)."""
+    proc = _run([sys.executable, "tools/misc/parity_probe.py",
+                 "tests/fixtures/beit3_pretrain_tiny.pth",
+                 "--img-size", "64", "--patch-size", "16",
+                 "--heads", "4", "--max-token", "8",
+                 "--platform", "cpu"], timeout=900)
+    m = re.search(r"worst layer: \d+ \(max abs diff ([0-9.e+-]+)\)",
+                  proc.stdout)
+    assert m, proc.stdout[-1500:]
+    assert float(m.group(1)) < 1e-4, proc.stdout[-1500:]

@@ -25,6 +25,8 @@ def main():
     p.add_argument("--output-dir", default="attn_out")
     p.add_argument("--num", type=int, default=8)
     p.add_argument("--platform", default=None)
+    p.add_argument("--cfg-options", nargs="*", default=[],
+                   help="dotted overrides key=value")
     args = p.parse_args()
 
     if args.platform:
@@ -37,7 +39,7 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
-    from simvg_tpu.config import Config
+    from simvg_tpu.config import Config, parse_cfg_options
     from simvg_tpu.data.builder import (
         build_dataset_from_cfg,
         build_loader_from_cfg,
@@ -46,6 +48,7 @@ def main():
     from simvg_tpu.utils.checkpoint import load_checkpoint
 
     cfg = Config.fromfile(args.config)
+    cfg.merge_from_dict(parse_cfg_options(args.cfg_options))
     img_size = cfg.get("img_size", 640)
     model, _ = build_model(cfg.model, img_size=img_size)
     ds = build_dataset_from_cfg(cfg.data[args.which_set],

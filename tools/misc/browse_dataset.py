@@ -22,13 +22,20 @@ def main():
     p.add_argument("--which-set", default="train")
     p.add_argument("--output-dir", default="browse_out")
     p.add_argument("--num", type=int, default=20)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--cfg-options", nargs="*", default=[],
+                   help="dotted overrides key=value")
     args = p.parse_args()
 
-    from simvg_tpu.config import Config
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+
+    from simvg_tpu.config import Config, parse_cfg_options
     from simvg_tpu.data.builder import build_dataset_from_cfg
     from simvg_tpu.utils.visualize import imshow_expr_bbox
 
     cfg = Config.fromfile(args.config)
+    cfg.merge_from_dict(parse_cfg_options(args.cfg_options))
     ds = build_dataset_from_cfg(cfg.data[args.which_set],
                                 dataset_type=cfg.get("dataset"))
     os.makedirs(args.output_dir, exist_ok=True)
