@@ -367,6 +367,32 @@ def main():
                    label="tb") / n_chips, 2)
     except Exception as e:  # noqa: BLE001
         extra["token_branch_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # 1c) token-branch serving with EViT-style vision-token pruning
+    # (BEiT3Config.token_prune_keep): keep top-K patch tokens by CLS
+    # attention after layer 4 — the sequence-length lever above the
+    # S=421 bandwidth floor.  K chosen so the post-prune joint length
+    # is lane-aligned: 235 -> S=256, 107 -> S=128 (vs 421 unpruned).
+    # Same param tree, so the flagship's random params serve directly.
+    try:
+        import dataclasses as _dc
+
+        from simvg_tpu.models import SimVGModel as _SM, \
+            SimVGConfig as _SC
+
+        pparams = _random_params(model, batch)
+        for keep in (235, 107):
+            pmodel = _SM(_SC(
+                beit3=_dc.replace(cfg.beit3, token_prune_keep=keep,
+                                  token_prune_layer=4),
+                head=cfg.head))
+            s_after = 1 + keep + t
+            extra[f"token_prune_s{s_after}_images_per_sec_per_chip"] = \
+                round(_retry(lambda m=pmodel: bench_inference(
+                    m, batch, branches="token", params=pparams),
+                    label=f"prune{keep}") / n_chips, 2)
+    except Exception as e:  # noqa: BLE001
+        extra["token_prune_error"] = f"{type(e).__name__}: {e}"[:200]
     # 2) full train step on the flagship (scan layout, like the configs)
     train_cfg = SimVGConfig(
         beit3=BEiT3Config.base(img_size=640, patch_size=32,

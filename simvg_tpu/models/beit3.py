@@ -85,6 +85,19 @@ class BEiT3Config:
     # faster compiles (critical for remote-compiled environments).
     # Parameters become stacked [L, ...]; see
     # tools/convert_checkpoint.stack_scan_layers.
+    token_prune_keep: Optional[int] = None  # serving-only perf lever
+    # (EViT / attention-aware token filtering, arXiv 2202.07800 /
+    # 2506.01519): after layer ``token_prune_layer``, keep only the
+    # top-K vision PATCH tokens ranked by the CLS token's attention
+    # (mean over heads); CLS and the text segment are never pruned.
+    # Shrinks the joint sequence for the remaining layers — a NEW axis
+    # above the S=421 bandwidth floor (ROADMAP "Perf analysis").
+    # Token-branch serving ONLY: the surviving tokens no longer form
+    # the [H/ps, W/ps] grid the decoder branch needs
+    # (SimVGModel enforces branches="token").  No new parameters, so
+    # converted checkpoints load unchanged; accuracy impact must be
+    # validated on real weights before production use.
+    token_prune_layer: int = 4  # prune after this many layers have run
 
     @property
     def num_patches(self) -> int:
@@ -176,9 +189,14 @@ class MultiwayAttention(nn.Module):
 
     Takes/returns the (vision, text) segment pair; the joint sequence
     exists only for the attention core itself (q/k/v concatenated once,
-    output split once)."""
+    output split once).
+
+    ``return_cls_attn``: additionally return the CLS query's attention
+    distribution over the joint sequence (mean over heads, fp32
+    [B, S]) — the token-pruning score (BEiT3Config.token_prune_keep)."""
 
     cfg: BEiT3Config
+    return_cls_attn: bool = False
 
     @nn.compact
     def __call__(
@@ -215,18 +233,27 @@ class MultiwayAttention(nn.Module):
             dtype=cfg.dtype,
             # the fused kernel has no prob-dropout path; fall back to XLA
             # when attention dropout is active (it is 0.0 in every
-            # shipped config)
+            # shipped config).  return_weights forces the XLA path too
+            # (the fused kernel never materializes probs).
             impl=cfg.attn_impl
             if deterministic or cfg.attention_dropout == 0.0 else "xla",
+            return_weights=self.return_cls_attn,
         )
+        cls_attn = None
+        if self.return_cls_attn:
+            out, probs = out  # probs [B, H, S_q, S_k]
+            cls_attn = probs[:, :, 0, :].astype(jnp.float32).mean(axis=1)
         o_vis, o_txt = out[:, :split], out[:, split:]
 
         inner_a = _ln(cfg, "inner_attn_ln_A")
         inner_b = _ln(cfg, "inner_attn_ln_B")
         out_a = _dense(cfg, cfg.embed_dim, "out_proj_A")
         out_b = _dense(cfg, cfg.embed_dim, "out_proj_B")
-        return (out_a(inner_a(o_vis).astype(cfg.dtype)),
+        outs = (out_a(inner_a(o_vis).astype(cfg.dtype)),
                 out_b(inner_b(o_txt).astype(cfg.dtype)))
+        if self.return_cls_attn:
+            return outs, cls_attn
+        return outs
 
 
 class DropPath(nn.Module):
@@ -254,10 +281,13 @@ class DropPath(nn.Module):
 
 class EncoderLayer(nn.Module):
     """Pre-LN multiway transformer block (beit3_base.py:127-172).
-    Takes/returns the (vision, text) segment pair."""
+    Takes/returns the (vision, text) segment pair.  With
+    ``return_cls_attn`` also returns the CLS attention row (the
+    token-pruning score) — parameters are identical either way."""
 
     cfg: BEiT3Config
     drop_path_rate: float
+    return_cls_attn: bool = False
 
     @nn.compact
     def __call__(self, xs, key_padding_mask, deterministic,
@@ -270,16 +300,23 @@ class EncoderLayer(nn.Module):
         drop_path = DropPath(self.drop_path_rate, name="drop_path")
 
         hs = (ln1_a(xs[0]).astype(cfg.dtype), ln1_b(xs[1]).astype(cfg.dtype))
-        hs = MultiwayAttention(cfg, name="self_attn")(
+        hs = MultiwayAttention(cfg, return_cls_attn=self.return_cls_attn,
+                               name="self_attn")(
             hs, key_padding_mask, deterministic, attn_bias
         )
+        cls_attn = None
+        if self.return_cls_attn:
+            hs, cls_attn = hs
         hs = drop_path(hs, deterministic)
         xs = (xs[0] + hs[0], xs[1] + hs[1])
 
         hs = (ln2_a(xs[0]).astype(cfg.dtype), ln2_b(xs[1]).astype(cfg.dtype))
         hs = MultiwayFFN(cfg, name="ffn")(hs)
         hs = drop_path(hs, deterministic)
-        return (xs[0] + hs[0], xs[1] + hs[1])
+        out = (xs[0] + hs[0], xs[1] + hs[1])
+        if self.return_cls_attn:
+            return out, cls_attn
+        return out
 
 
 class _ScanLayerBody(nn.Module):
@@ -441,6 +478,10 @@ class BEiT3Encoder(nn.Module):
         )
 
         xs = (x_vis.astype(cfg.dtype), x_txt.astype(cfg.dtype))
+        if cfg.token_prune_keep is not None:
+            assert not cfg.scan_layers, \
+                "token_prune_keep requires scan_layers=False (the " \
+                "sequence length changes mid-stack)"
         remat_kw = {}
         if cfg.remat and cfg.remat_policy == "dots":
             remat_kw["policy"] = (
@@ -486,11 +527,48 @@ class BEiT3Encoder(nn.Module):
                 nn.remat(EncoderLayer, static_argnums=(3,), **remat_kw)
                 if cfg.remat else EncoderLayer
             )
+            prune_keep = cfg.token_prune_keep
+            prune_layer = -1
+            if prune_keep is not None:
+                # static-shape vision-token pruning (see BEiT3Config):
+                # only meaningful on a joint/vision encode with patch
+                # tokens to drop, and incompatible with a [S,S] bias
+                # whose S would change mid-stack
+                assert split > 1, "token_prune_keep needs vision input"
+                assert attn_bias is None, \
+                    "token_prune_keep is incompatible with attn_bias"
+                assert 0 < prune_keep < split, (prune_keep, split)
+                # clamp so the default (4) stays valid on shallow
+                # models: prune after layer min(cfg, L-2), i.e. at
+                # least one layer runs on the pruned sequence
+                prune_layer = min(cfg.token_prune_layer,
+                                  cfg.num_layers - 2)
+                assert prune_layer >= 0, (cfg.token_prune_layer,
+                                          cfg.num_layers)
             for i in range(cfg.num_layers):
-                xs = layer_cls(cfg, drop_path_rate=float(dpr[i]),
-                               name=f"layers_{i}")(
-                    xs, pad, deterministic, attn_bias
-                )
+                want_attn = (prune_keep is not None
+                             and i == prune_layer)
+                layer = layer_cls(cfg, drop_path_rate=float(dpr[i]),
+                                  return_cls_attn=want_attn,
+                                  name=f"layers_{i}")
+                if want_attn:
+                    xs, cls_attn = layer(xs, pad, deterministic,
+                                         attn_bias)
+                    # rank PATCH tokens by the CLS query's attention
+                    # (positions 1..split-1 of the joint row); keep the
+                    # top-K in spatial order — a static-shape gather
+                    scores = cls_attn[:, 1:split]
+                    idx = jax.lax.top_k(scores, prune_keep)[1]
+                    idx = jnp.sort(idx, axis=1)
+                    patches = jnp.take_along_axis(
+                        xs[0][:, 1:], idx[..., None], axis=1)
+                    xs = (jnp.concatenate([xs[0][:, :1], patches],
+                                          axis=1), xs[1])
+                    split = 1 + prune_keep
+                    pad = jnp.concatenate(
+                        [jnp.zeros((b, split), bool), pad_txt], axis=1)
+                else:
+                    xs = layer(xs, pad, deterministic, attn_bias)
 
         # normalize_output=True -> final multiway LayerNorm
         # (beit3_base.py:227-230).

