@@ -87,6 +87,30 @@ def test_test_cli_multi_split_eval(smoke_ckpt, tmp_path):
         proc.stdout[-500:], proc.stderr[-500:])
 
 
+def test_inference_cli_token_prune(smoke_ckpt, tmp_path):
+    """Token-pruned serving through the real CLI: a FULL training
+    checkpoint restores into the pruned model (pruning is a serving
+    flag, not a different param tree) and the token branch serves."""
+    root, ckpt = smoke_ckpt
+    out = tmp_path / "vis"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [
+        sys.executable, "tools/inference.py",
+        "configs/smoke/tiny_synth.py", ckpt,
+        "--which-set", "val", "--output-dir", str(out),
+        "--max-images", "2", "--platform", "cpu",
+        "--cfg-options", "model.vis_enc.token_prune_keep=9",
+        f"data.val.annsfile={root}/instances.json",
+        f"data.val.imgsfile={root}/images",
+    ]
+    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    files = [f for f in os.listdir(out) if not f.endswith("_attn.jpg")]
+    assert len(files) == 2, files
+
+
 def test_demo_cli_single_image(smoke_ckpt, tmp_path):
     """tools/demo.py end-to-end (reference tools/demo.py:16-121): one
     raw image + free-text expression through the shared RawPreprocessor
