@@ -136,6 +136,54 @@ def test_prune_model_token_branch_only():
                     img_shape=shp, branches="decoder")
 
 
+def test_prune_composes_with_int8():
+    """Both serving levers together: pruned sequence + w8a8 matmuls."""
+    img, ids, pad = _inputs(seed=3)
+    for quant in ("int8", "int8_static"):
+        enc = BEiT3Encoder(BEiT3Config(token_prune_keep=5,
+                                       token_prune_layer=1,
+                                       quant=quant, **KW))
+        v = enc.init(jax.random.PRNGKey(0), img, ids, pad)
+        iv, tv, cv = enc.apply(v, img, ids, pad)
+        assert iv.shape == (2, 5, 32)
+        assert np.all(np.isfinite(np.asarray(iv)))
+
+
+def test_prune_composes_with_export(tmp_path):
+    """A pruned model exports as an AOT serving artifact and the
+    artifact's token predictions match the live eval step."""
+    from simvg_tpu.engine.train import make_eval_step
+    from simvg_tpu.export import (
+        export_serving,
+        load_exported,
+        save_exported,
+    )
+    from simvg_tpu.models import SimVGConfig, SimVGModel
+    from simvg_tpu.models.heads.tgqs_head import TGQSHeadConfig
+
+    cfg = SimVGConfig(
+        beit3=BEiT3Config(token_prune_keep=5, token_prune_layer=1, **KW),
+        head=TGQSHeadConfig(num_queries=2, in_channels=32, embed_dim=32,
+                            num_decoder_layers=2, num_tgqg_layers=1,
+                            attn_dropout=0.0, ffn_dropout=0.0,
+                            dtype=jnp.float32),
+    )
+    model = SimVGModel(cfg)
+    img, ids, pad = _inputs()
+    batch = dict(image=img, text_ids=ids, text_padding_mask=pad,
+                 img_shape=jnp.full((2, 2), 64, jnp.int32))
+    variables = model.init(jax.random.PRNGKey(0), **batch)
+    exp = export_serving(model, variables, batch, platforms=("cpu",))
+    f = str(tmp_path / "pruned.jaxexp")
+    save_exported(f, exp)
+    out = load_exported(f).call(batch)
+    direct = jax.jit(make_eval_step(model))(variables, batch)
+    # separate compilations of the same program: fp-noise tolerance
+    np.testing.assert_allclose(
+        np.asarray(out["token"]["best_box"]),
+        np.asarray(direct["token"]["best_box"]), rtol=1e-5, atol=1e-4)
+
+
 def test_prune_requires_unrolled_layers():
     img, ids, pad = _inputs()
     enc = BEiT3Encoder(BEiT3Config(token_prune_keep=5, scan_layers=True,
