@@ -538,11 +538,21 @@ class BEiT3Encoder(nn.Module):
                 assert attn_bias is None, \
                     "token_prune_keep is incompatible with attn_bias"
                 assert 0 < prune_keep < split, (prune_keep, split)
-                # clamp so the default (4) stays valid on shallow
-                # models: prune after layer min(cfg, L-2), i.e. at
-                # least one layer runs on the pruned sequence
-                prune_layer = min(cfg.token_prune_layer,
-                                  cfg.num_layers - 2)
+                # the last prunable layer is L-2 (at least one layer
+                # must run on the pruned sequence).  Only the
+                # dataclass DEFAULT (4) is clamped for shallow models;
+                # an explicitly out-of-range value is an error, not a
+                # silent move of the prune point.
+                prune_layer = cfg.token_prune_layer
+                if prune_layer > cfg.num_layers - 2:
+                    if prune_layer == 4:  # the default on a shallow model
+                        prune_layer = cfg.num_layers - 2
+                    else:
+                        raise ValueError(
+                            f"token_prune_layer={prune_layer} out of "
+                            f"range for num_layers={cfg.num_layers} "
+                            f"(last prunable layer is "
+                            f"{cfg.num_layers - 2})")
                 assert prune_layer >= 0, (cfg.token_prune_layer,
                                           cfg.num_layers)
             for i in range(cfg.num_layers):

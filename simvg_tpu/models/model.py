@@ -89,6 +89,13 @@ class SimVGModel(nn.Module):
             # created — restore templates must match FULL checkpoints
             # (pruning is a serving flag, not a different model).
             if branches == "both" and not self.is_initializing():
+                # training with the flag would silently distill
+                # against the head's CONSTANT dummy decoder outputs
+                # (zero logits, 0.5 boxes) — refuse instead
+                assert deterministic, (
+                    "token_prune_keep is a serving-only flag: the "
+                    "decoder branch a training step needs cannot run "
+                    "on a pruned token set")
                 branches = "token"
             assert branches in ("token", "both"), (
                 "token_prune_keep serves the token branch only; got "

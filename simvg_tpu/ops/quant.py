@@ -199,8 +199,19 @@ def requantize_weights(params, quant_skeleton, qcol):
     fresh = build_quant_collection(params, quant_skeleton)
     flat_f = traverse_util.flatten_dict(fresh)
     flat_q = traverse_util.flatten_dict(qcol)
+    missing = [p for p in flat_f
+               if p[-1] == "act_scale" and p not in flat_q]
+    if missing:
+        # a silent 1.0 fallback saturates post-LN activations — a
+        # layout mismatch (e.g. scan-stacked 'layers' calibration
+        # served into an unrolled 'layers_N' model) must fail loudly
+        raise ValueError(
+            "calibration artifact has no act_scale for "
+            f"{['/'.join(p) for p in missing[:3]]}"
+            f"{'...' if len(missing) > 3 else ''} — was it calibrated "
+            "with a different model layout (scan_layers / names)?")
     for path in flat_f:
-        if path[-1] == "act_scale" and path in flat_q:
+        if path[-1] == "act_scale":
             flat_f[path] = jnp.asarray(flat_q[path], jnp.float32)
     return traverse_util.unflatten_dict(flat_f)
 
@@ -240,7 +251,18 @@ def attach_static_quant(variables, quant_skel, quant_npz=None):
             raise SystemExit(
                 "--quant-collection given but the model has no quant "
                 "layers; set model.vis_enc.quant=int8_static")
-        qcol = load_quant_collection(quant_npz)
+        # only the scalar act_scale entries are used (w_q/s_w are
+        # re-quantized from the params being attached) — don't haul
+        # the npz's full int8 weight set through the host->device
+        # tunnel just to discard it
+        import numpy as np
+        from flax import traverse_util
+
+        with np.load(quant_npz) as z:
+            scales = {tuple(k.split("/")): jnp.asarray(z[k])
+                      for k in z.files
+                      if k.split("/")[-1] == "act_scale"}
+        qcol = traverse_util.unflatten_dict(scales)
         variables = dict(variables)
         variables["quant"] = jax.jit(
             lambda p: requantize_weights(p, quant_skel, qcol)

@@ -184,6 +184,66 @@ def test_prune_composes_with_export(tmp_path):
         np.asarray(direct["token"]["best_box"]), rtol=1e-5, atol=1e-4)
 
 
+def test_prune_refuses_training():
+    """token_prune_keep is serving-only: a non-deterministic (training)
+    apply must refuse rather than silently distill against the head's
+    constant dummy decoder outputs (round-3 review finding)."""
+    from simvg_tpu.models import SimVGConfig, SimVGModel
+    from simvg_tpu.models.heads.tgqs_head import TGQSHeadConfig
+
+    cfg = SimVGConfig(
+        beit3=BEiT3Config(token_prune_keep=5, token_prune_layer=1, **KW),
+        head=TGQSHeadConfig(num_queries=2, in_channels=32, embed_dim=32,
+                            num_decoder_layers=2, num_tgqg_layers=1,
+                            attn_dropout=0.0, ffn_dropout=0.0,
+                            dtype=jnp.float32),
+    )
+    model = SimVGModel(cfg)
+    img, ids, pad = _inputs()
+    shp = jnp.full((2, 2), 64, jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), image=img, text_ids=ids,
+                   text_padding_mask=pad, img_shape=shp)
+    with pytest.raises(AssertionError, match="serving-only"):
+        model.apply(v, image=img, text_ids=ids, text_padding_mask=pad,
+                    img_shape=shp, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+
+
+def test_prune_layer_default_clamps_explicit_rejects():
+    """Default prune layer (4) clamps on shallow models; an explicitly
+    out-of-range layer errors instead of silently moving the prune."""
+    img, ids, pad = _inputs()
+    # default 4 on a 3-layer model -> clamped to 1, runs
+    enc = BEiT3Encoder(BEiT3Config(token_prune_keep=5, **KW))
+    v = enc.init(jax.random.PRNGKey(0), img, ids, pad)
+    iv, _, _ = enc.apply(v, img, ids, pad)
+    assert iv.shape[1] == 5
+    # explicit 2 on a 3-layer model (last prunable is 1) -> error
+    bad = BEiT3Encoder(BEiT3Config(token_prune_keep=5,
+                                   token_prune_layer=2, **KW))
+    with pytest.raises(ValueError, match="out of range"):
+        bad.init(jax.random.PRNGKey(0), img, ids, pad)
+
+
+def test_attach_rejects_mismatched_calibration(tmp_path):
+    """A calibration .npz whose act_scale paths don't match the model
+    layout must fail loudly, not silently serve with saturating 1.0
+    scales (round-3 review finding)."""
+    import numpy as np_
+
+    from simvg_tpu.ops.quant import attach_static_quant
+
+    enc = BEiT3Encoder(BEiT3Config(quant="int8_static", **KW))
+    img, ids, pad = _inputs()
+    vars0 = dict(enc.init(jax.random.PRNGKey(0), img, ids, pad))
+    skel = vars0.pop("quant")
+    f = str(tmp_path / "wrong.npz")
+    np_.savez(f, **{"beit3/other_layer/act_scale":
+                    np_.ones((), np_.float32)})
+    with pytest.raises(ValueError, match="different model layout"):
+        attach_static_quant(dict(vars0), skel, quant_npz=f)
+
+
 def test_prune_requires_unrolled_layers():
     img, ids, pad = _inputs()
     enc = BEiT3Encoder(BEiT3Config(token_prune_keep=5, scan_layers=True,

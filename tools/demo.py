@@ -22,7 +22,12 @@ def main():
     p.add_argument("--output-dir", default="demo_out")
     p.add_argument("--branch", default="token",
                    choices=["token", "decoder"])
+    p.add_argument("--quant-collection", default=None,
+                   help=".npz from tools/misc/quantize_serving.py "
+                        "(use with model.vis_enc.quant=int8_static)")
     p.add_argument("--platform", default=None)
+    p.add_argument("--cfg-options", nargs="*", default=[],
+                   help="dotted overrides key=value")
     args = p.parse_args()
 
     if args.platform:
@@ -44,7 +49,10 @@ def main():
     from simvg_tpu.utils.checkpoint import load_checkpoint
     from simvg_tpu.utils.visualize import imshow_expr_bbox
 
+    from simvg_tpu.config import parse_cfg_options
+
     cfg = Config.fromfile(args.config)
+    cfg.merge_from_dict(parse_cfg_options(args.cfg_options))
     img_size = cfg.get("img_size", 640)
     dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else jnp.float32
     model, _ = build_model(cfg.model, img_size=img_size, dtype=dtype)
@@ -72,7 +80,8 @@ def main():
     if quant_skel is not None:
         from simvg_tpu.ops.quant import attach_static_quant
 
-        params = attach_static_quant(params, quant_skel)
+        params = attach_static_quant(params, quant_skel,
+                                     args.quant_collection)
 
     step = jax.jit(make_eval_step(model, device_norm=preproc.device_norm))
     preds = step(params, {k: v for k, v in batch.items() if k != "meta"})

@@ -168,8 +168,12 @@ def _load_variables(args, cfg, img_size: int):
     return model, params
 
 
-def _build_backend(args, cfg):
-    """-> (run_batch(batch)->preds, backend_name, img_size)."""
+def _build_backend(args, cfg, device_norm=None):
+    """-> (run_batch(batch)->preds, backend_name, img_size).
+
+    ``device_norm`` comes from the shared RawPreprocessor (data/raw.py)
+    so the live backend and the request pipeline cannot drift on the
+    normalize_on_device contract; exported artifacts have it baked."""
     import jax
     import jax.numpy as jnp
 
@@ -223,11 +227,6 @@ def _build_backend(args, cfg):
     from simvg_tpu.export import SERVING_INPUTS
 
     model, params = _load_variables(args, cfg, img_size)
-    # normalize_on_device configs leave images uint8 on the host and
-    # fuse normalization into the forward (same plumbing as
-    # tools/test.py:150-152)
-    device_norm = (dict(cfg.get("img_norm_cfg", {})) or None) \
-        if cfg.get("normalize_on_device", False) else None
     step = jax.jit(make_eval_step(model, device_norm=device_norm))
 
     def run_batch(batch):
@@ -296,8 +295,9 @@ def main():
 
     from simvg_tpu.data.raw import RawPreprocessor
 
-    run_batch, backend, img_size = _build_backend(args, cfg)
     preproc = RawPreprocessor(cfg)
+    run_batch, backend, img_size = _build_backend(
+        args, cfg, device_norm=preproc.device_norm)
     batcher = Batcher(run_batch, preproc, canvas=img_size,
                       max_batch=args.max_batch,
                       timeout_ms=args.batch_timeout_ms,
