@@ -83,7 +83,9 @@ def build_dataset_from_cfg(split_cfg: Dict[str, Any], *,
         tokenizer=tokenizer,
         max_token=load_cfg.get("max_token", 20),
         transforms=tfs,
-        with_bbox=load_cfg.get("with_bbox", True),
+        # reference defaults (loading.py:48-57): with_bbox FALSE — the
+        # segmentation config family omits it and relies on this
+        with_bbox=load_cfg.get("with_bbox", False),
         with_mask=load_cfg.get("with_mask", False),
         use_token_type=load_cfg.get("use_token_type", "beit3"),
         spm_path=load_cfg.get("spm_path", "pretrain_weights/beit3.spm"),

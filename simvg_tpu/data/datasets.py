@@ -88,6 +88,9 @@ class BaseDataset:
         expr_sampling: str = "deterministic",
     ):
         assert which_set in VALID_SETS, which_set
+        # reference loading.py:57: at least one annotation kind
+        assert with_bbox or with_mask, \
+            "set with_bbox and/or with_mask on the load op"
         self.which_set = which_set
         self.imgsfile = imgsfile
         self.max_token = max_token
@@ -201,7 +204,18 @@ class BaseDataset:
             self._load_bbox(s, ann, expr_idx)
         if self.with_mask:
             self._load_mask(s, ann)
-        return self.pipeline(s)
+        s = self.pipeline(s)
+        if s["expression"] != expression:
+            # a transform rewrote the text (VGTRAugment's flip swaps
+            # left<->right in the phrase) — the token ids encoded above
+            # would silently keep saying the original side (the
+            # reference's VGTR dataset tokenizes AFTER augmentation,
+            # vgtr_aug.py:22-27)
+            ids, mask = self.tokenizer.encode(s["expression"],
+                                              self.max_token)
+            s["ref_expr_inds"] = ids
+            s["text_attention_mask"] = mask
+        return s
 
     def _load_mask(self, s: dict, ann: dict):
         """Polygon-or-RLE GT mask -> bitmap + RLE (loading.py:241-262)."""

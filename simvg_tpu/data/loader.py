@@ -205,11 +205,11 @@ class DataLoader:
                 pad = (-len(idx)) % self.bs
                 if pad and not self.drop_last:
                     idx = np.concatenate([idx, idx[:pad]])
+                # wrap-pad above makes len(idx) a multiple of bs unless
+                # drop_last, in which case the tail is dropped here
                 for k in range(0, len(idx) - (len(idx) % self.bs),
                                self.bs):
                     chunks.append(idx[k:k + self.bs].tolist())
-                if not self.drop_last and len(idx) % self.bs:
-                    chunks.append(idx[-(len(idx) % self.bs):].tolist())
             rng.shuffle(chunks)
             batches = chunks
         else:

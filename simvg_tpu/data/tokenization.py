@@ -131,9 +131,20 @@ class HFTokenizerWrapper(_TokenizerBase):
         from transformers import AutoTokenizer
 
         self.tok = AutoTokenizer.from_pretrained(name_or_path)
-        self.bos_id = self.tok.cls_token_id or self.tok.bos_token_id or 0
-        self.eos_id = self.tok.sep_token_id or self.tok.eos_token_id or 2
-        self.pad_id = self.tok.pad_token_id or 1
+
+        def _first(*ids, default):
+            # explicit None checks: legitimate special-token ids can be
+            # 0 (bert-base-uncased's [PAD] IS 0 — `or` would replace it)
+            for i in ids:
+                if i is not None:
+                    return i
+            return default
+
+        self.bos_id = _first(self.tok.cls_token_id,
+                             self.tok.bos_token_id, default=0)
+        self.eos_id = _first(self.tok.sep_token_id,
+                             self.tok.eos_token_id, default=2)
+        self.pad_id = _first(self.tok.pad_token_id, default=1)
 
     def tokenize_to_ids(self, text: str):
         return self.tok.convert_tokens_to_ids(self.tok.tokenize(text))
@@ -352,7 +363,16 @@ def build_tokenizer(kind: str = "beit3", **kw) -> _TokenizerBase:
                 # native pure-python unigram inference (no sentencepiece
                 # dependency); loads the released beit3.spm directly
                 return XLMRSentencePieceTokenizer(spm)
-        # asset-free fallback keeps the full pipeline runnable
+        # asset-free fallback keeps the full pipeline runnable — but a
+        # model TRAINED with the real beit3.spm gets hashed garbage ids
+        # from it, so a missing/typo'd asset path must be loud
+        import logging
+
+        logging.getLogger("simvg_tpu").warning(
+            "beit3 tokenizer: sentencepiece model %r not found — "
+            "falling back to the hash-based SimpleTokenizer. Fine for "
+            "synthetic smoke runs; WRONG for any model trained with "
+            "the real beit3.spm vocabulary.", spm)
         return SimpleTokenizer(vocab_size=kw.get("vocab_size", 64010))
     if kind == "bert":
         return HFTokenizerWrapper(kw.get("name_or_path",

@@ -188,6 +188,15 @@ class LargeScaleJitter:
         area = (gt[2] - gt[0]) * (gt[3] - gt[1])
         return float(overlap / max(area, 1e-12))
 
+    @staticmethod
+    def _mask_cover(crop: np.ndarray, gt_mask: np.ndarray) -> float:
+        """Fraction of the mask's area inside the crop rectangle —
+        the mask-only (with_bbox=False) crop-acceptance criterion
+        (reference _mask_overlaps, transforms.py:246-252)."""
+        x0, y0, x1, y1 = np.maximum(crop, 0.0).astype(np.int64)
+        inside = float(gt_mask[y0:y1, x0:x1].sum())
+        return inside / max(float(gt_mask.sum()), 1e-12)
+
     def __call__(self, s: dict) -> dict:
         img = s["img"]
         h, w = s["ori_shape"][:2]
@@ -216,7 +225,18 @@ class LargeScaleJitter:
 
         if rand_scale > 1.0:
             w_out, h_out = _rescale_size(w, h, fit_scale)
-            ref_box = gt_bbox[0] if multi else gt_bbox
+            # crop-acceptance criterion (reference transforms.py:288-291):
+            # bbox coverage when boxes exist, else mask coverage; a
+            # GRefCOCO no-target sample (empty bbox list) has nothing to
+            # keep — any crop is acceptable (full-image reference box)
+            use_mask = (not s.get("with_bbox") and s.get("with_mask")
+                        and "gt_mask" in s)
+            if use_mask:
+                ref_box = None
+            elif multi and len(gt_bbox) == 0:
+                ref_box = np.asarray([0.0, 0.0, new_w, new_h])
+            else:
+                ref_box = gt_bbox[0] if multi else gt_bbox
             flag, best_idx, best_iou, history = False, -1, 0.0, []
             offset = (0.0, 0.0)
             for i, iou_thr in enumerate(self.crop_iou_thr[::-1]):
@@ -229,7 +249,9 @@ class LargeScaleJitter:
                         [offset[0], offset[1], offset[0] + w_out,
                          offset[1] + h_out]
                     )
-                    iou = self._crop_cover(crop, ref_box)
+                    iou = (self._mask_cover(crop, s["gt_mask"])
+                           if use_mask
+                           else self._crop_cover(crop, ref_box))
                     history.append((crop, offset))
                     if iou > best_iou:
                         best_iou = iou

@@ -68,10 +68,15 @@ def evaluate(
         for b in ("decoder", "token")
     }
 
+    # the eval step consumes exactly these keys (make_eval_step);
+    # gt_*/scale_factor/batch_valid stay host-side for the metrics —
+    # transferring them per batch wasted host->device bandwidth
+    _DEVICE_KEYS = ("image", "text_ids", "text_padding_mask",
+                    "img_shape")
     batches = len(loader)
     for bi, batch in enumerate(loader):
         device_batch = {
-            k: v for k, v in batch.items() if k != "meta"
+            k: batch[k] for k in _DEVICE_KEYS if k in batch
         }
         if put_fn is not None:
             device_batch = put_fn(device_batch)

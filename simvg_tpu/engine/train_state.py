@@ -44,7 +44,10 @@ def cosine_annealing_lr(
     """CosineAnnealingLR over epochs (simvg/core/scheduler.py:47-60)."""
 
     def schedule(step):
-        epoch = jnp.minimum(step // steps_per_epoch, t_max)
+        # no clamp at t_max: torch CosineAnnealingLR is PERIODIC — for
+        # epochs beyond T_max the cosine keeps going and the LR climbs
+        # back up (reference core/scheduler.py uses the torch class)
+        epoch = step // steps_per_epoch
         return eta_min + 0.5 * (base_lr - eta_min) * (
             1.0 + jnp.cos(jnp.pi * epoch / t_max)
         )

@@ -384,6 +384,7 @@ def test_expr_sampling_global_rng_parity_mode(tmp_path):
             "which_set": "train",
             "pipeline": [
                 {"type": "LoadImageAnnotationsFromFile", "max_token": 8,
+                 "with_bbox": True,
                  "use_token_type": "default", "dataset": "RefCOCOUNC"},
             ],
         }
@@ -417,3 +418,36 @@ def test_expr_sampling_global_rng_parity_mode(tmp_path):
         seqs.add(tuple(ds_ref[i]["expression"]
                        for i in range(len(ds_ref))))
     assert len(seqs) > 1, "global_rng mode ignored the global stream"
+
+
+def test_expression_rewrite_retokenizes(tmp_path):
+    """A transform that rewrites the expression (VGTRAugment's flip
+    swaps left<->right in the phrase) must get fresh token ids — the
+    dataset tokenizes before the pipeline, so stale ids would keep
+    saying the original side (round-3 review finding; the reference's
+    VGTR dataset tokenizes AFTER augmentation, vgtr_aug.py:22-27)."""
+    imgdir, annfile = make_refcoco_style(str(tmp_path))
+
+    class RewriteExpr:
+        def __call__(self, s):
+            s["expression"] = "a completely different phrase"
+            return s
+
+    ds = build_dataset(
+        "RefCOCOUNC", imgsfile=imgdir, annsfile=annfile,
+        which_set="train", max_token=10, use_token_type="beit3",
+        transforms=[RewriteExpr()],
+    )
+    s = ds[0]
+    want, _ = ds.tokenizer.encode("a completely different phrase", 10)
+    np.testing.assert_array_equal(s["ref_expr_inds"], want)
+
+    # no rewrite -> original ids untouched
+    ds2 = build_dataset(
+        "RefCOCOUNC", imgsfile=imgdir, annsfile=annfile,
+        which_set="train", max_token=10, use_token_type="beit3",
+        transforms=[],
+    )
+    s2 = ds2[0]
+    orig, _ = ds2.tokenizer.encode(s2["expression"], 10)
+    np.testing.assert_array_equal(s2["ref_expr_inds"], orig)

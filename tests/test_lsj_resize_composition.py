@@ -89,3 +89,41 @@ def test_resize_alone_unchanged_semantics():
     np.testing.assert_allclose(
         out["gt_bbox"],
         s["gt_bbox"] * np.asarray([64 / 160, 64 / 120] * 2), rtol=1e-6)
+
+
+def test_lsj_mask_only_crop_criterion():
+    """with_bbox=False + with_mask=True (the segmentation config
+    family's default): LSJ must use the MASK-coverage crop criterion
+    (reference transforms.py:288-291) instead of crashing on a None
+    gt_bbox (round-3 review finding)."""
+    rng = np.random.default_rng(2)
+    for i in range(30):
+        s = _sample(rng)
+        x0, y0, x1, y1 = s.pop("gt_bbox").astype(int)
+        s["with_bbox"] = False
+        s["with_mask"] = True
+        gm = np.zeros(s["img"].shape[:2], np.uint8)
+        gm[y0:y1, x0:x1] = 1
+        s["gt_mask"] = gm
+        s["aug_rng"] = random.Random(i)
+        out = LargeScaleJitter(out_max_size=64, jitter_min=0.3,
+                               jitter_max=1.4)(s)
+        assert out["gt_mask"].shape == out["img"].shape[:2]
+        # the accepted crop keeps a meaningful part of the mask (the
+        # escape path keeps everything)
+        assert out["gt_mask"].sum() > 0
+
+
+def test_lsj_grec_empty_target_list():
+    """A GRefCOCO no-target sample (empty bbox list) must pass through
+    LSJ without IndexError — there is nothing to keep, any crop is
+    acceptable (round-3 review finding)."""
+    rng = np.random.default_rng(3)
+    for i in range(20):
+        s = _sample(rng)
+        s["gt_bbox"] = []  # multi-target schema, zero targets
+        s["aug_rng"] = random.Random(i)
+        out = LargeScaleJitter(out_max_size=64, jitter_min=0.3,
+                               jitter_max=1.4)(s)
+        assert out["gt_bbox"] == []
+        assert max(out["img"].shape[:2]) <= 64

@@ -128,6 +128,21 @@ def test_multistep_lr_warmup_schedule():
     np.testing.assert_allclose(at_epoch(29), 0.1)
 
 
+def test_cosine_annealing_is_periodic_past_tmax():
+    """torch CosineAnnealingLR keeps following the cosine past T_max
+    (the LR climbs back up); clamping at T_max silently diverged from
+    the reference for runs longer than T_max (round-3 review)."""
+    from simvg_tpu.engine.train_state import cosine_annealing_lr
+
+    sched = cosine_annealing_lr(1.0, steps_per_epoch=10, t_max=10,
+                                eta_min=0.0)
+    at = lambda e: float(sched(jnp.asarray(e * 10)))  # noqa: E731
+    np.testing.assert_allclose(at(0), 1.0)
+    np.testing.assert_allclose(at(10), 0.0, atol=1e-7)  # trough at T_max
+    np.testing.assert_allclose(at(20), 1.0)  # back at the crest
+    assert at(15) > 0.4  # climbing, not pinned at eta_min
+
+
 def test_sharded_step_with_scanned_encoder():
     """TP sharding must apply to the scan layout's stacked kernels and
     give the same loss as single-device."""
