@@ -416,6 +416,7 @@ class BEiT3Encoder(nn.Module):
         text_padding_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         attn_bias: Optional[jnp.ndarray] = None,
+        return_prune_idx: bool = False,
     ):
         """Joint (default), vision-only (``text_ids=None``) or text-only
         (``images=None``) encode — the single-modality modes serve the
@@ -424,7 +425,11 @@ class BEiT3Encoder(nn.Module):
         with an EMPTY other segment (0-length arrays are free under
         XLA).  ``attn_bias``: optional additive [S,S] mask (captioning's
         uni-directional mask).  Returns (img_feat, text_feat, cls_feat);
-        the absent modality's outputs are None."""
+        the absent modality's outputs are None.
+        ``return_prune_idx``: also return the [B, K] original-grid
+        indices of the patch tokens kept by token pruning (None when
+        token_prune_keep is off) — the caller needs them to gather the
+        matching rows of its spatial padding mask."""
         cfg = self.cfg
         assert images is not None or text_ids is not None
         split = cfg.seq_vision if images is not None else 0
@@ -555,6 +560,7 @@ class BEiT3Encoder(nn.Module):
                             f"{cfg.num_layers - 2})")
                 assert prune_layer >= 0, (cfg.token_prune_layer,
                                           cfg.num_layers)
+            prune_idx = None
             for i in range(cfg.num_layers):
                 want_attn = (prune_keep is not None
                              and i == prune_layer)
@@ -570,6 +576,7 @@ class BEiT3Encoder(nn.Module):
                     scores = cls_attn[:, 1:split]
                     idx = jax.lax.top_k(scores, prune_keep)[1]
                     idx = jnp.sort(idx, axis=1)
+                    prune_idx = idx
                     patches = jnp.take_along_axis(
                         xs[0][:, 1:], idx[..., None], axis=1)
                     xs = (jnp.concatenate([xs[0][:, :1], patches],
@@ -589,4 +596,7 @@ class BEiT3Encoder(nn.Module):
             img_feat = x_vis[:, 1:]
         if text_ids is not None:
             text_feat = _ln(cfg, "layer_norm_B")(xs[1])
+        if return_prune_idx:
+            return img_feat, text_feat, cls_feat, (
+                prune_idx if cfg.token_prune_keep is not None else None)
         return img_feat, text_feat, cls_feat

@@ -75,10 +75,35 @@ class SimVGModel(nn.Module):
         ps = self.cfg.beit3.patch_size
         h, w = h_img // ps, w_img // ps
 
-        img_feat, text_feat, cls_feat = self.vis_enc(
-            image, text_ids, text_padding_mask, deterministic=deterministic
-        )
-        if self.cfg.beit3.token_prune_keep is not None:
+        if not deterministic and not self.is_initializing():
+            # serving-only levers must never run inside a training step
+            # (ADVICE r3): int8 rounding has no straight-through
+            # estimator, so encoder matmul gradients silently vanish;
+            # token pruning gathers by training-time attention with
+            # drop-path active and the decoder branch distills against
+            # dummy outputs.  Refuse loudly instead of training wrong.
+            assert self.cfg.beit3.quant == "none", (
+                f"quant={self.cfg.beit3.quant!r} is a serving-only "
+                "flag: jnp.round/clip has zero gradient almost "
+                "everywhere (no STE), so training with it silently "
+                "kills encoder gradients")
+            assert self.cfg.beit3.token_prune_keep is None, (
+                "token_prune_keep is a serving-only flag: the pruning "
+                "top-k would be driven by training-time attention with "
+                "drop-path active")
+
+        prune = self.cfg.beit3.token_prune_keep is not None
+        if prune:
+            img_feat, text_feat, cls_feat, kept_idx = self.vis_enc(
+                image, text_ids, text_padding_mask,
+                deterministic=deterministic, return_prune_idx=True,
+            )
+        else:
+            img_feat, text_feat, cls_feat = self.vis_enc(
+                image, text_ids, text_padding_mask,
+                deterministic=deterministic,
+            )
+        if prune:
             # pruned vision tokens no longer form the spatial grid the
             # decoder branch's memory/pos-embedding need — this is a
             # token-branch-only serving mode (BEiT3Config).  At APPLY
@@ -89,13 +114,7 @@ class SimVGModel(nn.Module):
             # created — restore templates must match FULL checkpoints
             # (pruning is a serving flag, not a different model).
             if branches == "both" and not self.is_initializing():
-                # training with the flag would silently distill
-                # against the head's CONSTANT dummy decoder outputs
-                # (zero logits, 0.5 boxes) — refuse instead
-                assert deterministic, (
-                    "token_prune_keep is a serving-only flag: the "
-                    "decoder branch a training step needs cannot run "
-                    "on a pruned token set")
+                # (non-deterministic applies were refused above)
                 branches = "token"
             assert branches in ("token", "both"), (
                 "token_prune_keep serves the token branch only; got "
@@ -103,7 +122,15 @@ class SimVGModel(nn.Module):
             # degenerate [B, K, 1, D] "grid": shape-compatible with the
             # head's pointwise input_proj, unused by the token branch
             x_mm = img_feat[:, :, None, :]
-            img_pad_mask = jnp.zeros(x_mm.shape[:3], bool)
+            # surviving tokens keep their REAL padding status (ADVICE
+            # r3): gather the spatial mask rows at the kept indices so
+            # patches in the padded canvas of non-square images stay
+            # masked, matching the unpruned eval path
+            full_mask = self._img_pad_mask(b, h_img, w_img, h, w,
+                                           img_shape)  # [B,h,w]
+            img_pad_mask = jnp.take_along_axis(
+                full_mask.reshape(b, h * w), kept_idx, axis=1
+            )[:, :, None]  # [B,K,1] — matches x_mm's grid dims
         else:
             # [B, P, D] -> NHWC grid (mix_detr_mb.py:52 builds NCHW; we
             # stay channels-last, the TPU-native layout).

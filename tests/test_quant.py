@@ -292,3 +292,47 @@ def test_int8_empty_segment_single_modality():
         _, tv, _ = enc.apply(v, text_ids=ids,
                              text_padding_mask=pad)  # text-only
         assert np.all(np.isfinite(np.asarray(tv)))
+
+
+def test_quant_refuses_training_apply():
+    """ADVICE r3 (medium): int8 rounding has no STE, so a training-mode
+    apply (deterministic=False) with quant set must be refused loudly
+    instead of silently zeroing encoder gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from simvg_tpu.models import SimVGModel, SimVGConfig
+    from simvg_tpu.models.beit3 import BEiT3Config
+    from simvg_tpu.models.heads.tgqs_head import TGQSHeadConfig
+
+    def build(**kw):
+        return SimVGModel(SimVGConfig(
+            beit3=BEiT3Config(
+                img_size=32, patch_size=16, embed_dim=16, num_heads=2,
+                ffn_dim=32, num_layers=2, vocab_size=64,
+                drop_path_rate=0.0, dtype=jnp.float32, **kw),
+            head=TGQSHeadConfig(num_queries=1, in_channels=16,
+                                embed_dim=16, num_decoder_layers=1,
+                                num_tgqg_layers=1)))
+
+    batch = dict(
+        image=np.zeros((2, 32, 32, 3), np.float32),
+        text_ids=np.ones((2, 4), np.int32),
+        text_padding_mask=np.zeros((2, 4), np.int32),
+        img_shape=np.full((2, 2), 32, np.int32))
+
+    ref = build()
+    params = ref.init(jax.random.PRNGKey(0), **batch)
+
+    for kw in ({"quant": "int8"},
+               {"token_prune_keep": 2, "token_prune_layer": 0}):
+        m = build(**kw)
+        # init must still work (full param tree for restore templates)
+        v = m.init(jax.random.PRNGKey(0), **batch)
+        assert jax.tree.structure(
+            v.get("params")) == jax.tree.structure(params["params"])
+        with pytest.raises(AssertionError, match="serving-only"):
+            m.apply(v, **batch, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)})

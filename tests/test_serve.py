@@ -105,9 +105,12 @@ def test_serve_predict_and_errors(live_server):
     assert status == 200
     assert len(out["token"]["boxes"]) == len(out["token"]["scores"])
 
-    # malformed requests are 400s, not server crashes
+    # malformed requests are 400s, not server crashes; image_path is
+    # DENIED by default (server started without --image-root) so a
+    # client cannot read server-local files (ADVICE r3)
     for bad in ({"expression": "no image"},
-                {"image_b64": "!!notbase64", "expression": "x"}):
+                {"image_b64": "!!notbase64", "expression": "x"},
+                {"image_path": "/etc/passwd", "expression": "x"}):
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/predict",
             data=json.dumps(bad).encode())
@@ -234,3 +237,35 @@ def test_serve_exported_backend(tmp_path):
     finally:
         server.kill()
         server.wait()
+
+
+def test_decode_image_path_gate(tmp_path):
+    """--image-root semantics (ADVICE r3): disabled by default, paths
+    resolved under the root, traversal outside it rejected."""
+    import cv2
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import serve
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    sub = tmp_path / "imgs"
+    sub.mkdir()
+    cv2.imwrite(str(sub / "a.jpg"), img)
+
+    # default: no local reads at all
+    with pytest.raises(ValueError, match="disabled"):
+        serve._decode_image({"image_path": str(sub / "a.jpg")})
+
+    # allowed under the root, relative resolution
+    out = serve._decode_image({"image_path": "a.jpg"},
+                              image_root=str(sub))
+    assert out.shape == (8, 8, 3)
+
+    # traversal out of the root is rejected even via ../
+    (tmp_path / "secret.jpg").write_bytes(b"x")
+    with pytest.raises(ValueError, match="escapes"):
+        serve._decode_image({"image_path": "../secret.jpg"},
+                            image_root=str(sub))
+    with pytest.raises(ValueError, match="escapes"):
+        serve._decode_image({"image_path": "/etc/passwd"},
+                            image_root=str(sub))

@@ -19,7 +19,8 @@ API (JSON over HTTP, stdlib only — no server deps at the serving site):
 
   GET  /healthz   -> {"status": "ok", "backend": ..., "max_batch": N}
   POST /predict   <- {"image_b64": <b64 jpeg/png>, "expression": str}
-                     (or {"image_path": str} for local files)
+                     (or {"image_path": str} relative to --image-root;
+                      disabled unless --image-root is given)
                   -> {"token":   {"box": [x0,y0,x1,y1], "score": f},
                       "decoder": {"box": [...], "score": f},
                       "batch_size": n, "latency_ms": f}
@@ -78,14 +79,26 @@ class Batcher:
         slot = {"want_all": want_all}
         self.q.put((sample, ev, slot))
         if not ev.wait(timeout=timeout_s or self.request_timeout_s):
+            # mark the orphaned queue item so _loop drops it instead of
+            # letting a burst of abandoned requests occupy batch slots
+            # and delay fresh traffic (ADVICE r3)
+            slot["cancelled"] = True
             raise TimeoutError("device batch did not complete")
         if "error" in slot:
             raise RuntimeError(slot["error"])
         return slot["result"]
 
+    def _get_live(self, timeout=None):
+        """Next queue item whose submitter is still waiting (skips
+        slots flagged cancelled by a timed-out ``submit``)."""
+        while True:
+            item = self.q.get(timeout=timeout)
+            if not item[2].get("cancelled"):
+                return item
+
     def _loop(self):
         while True:
-            first = self.q.get()
+            first = self._get_live()
             items = [first]
             deadline = time.monotonic() + self.timeout_s
             while len(items) < self.max_batch:
@@ -93,9 +106,14 @@ class Batcher:
                 if left <= 0:
                     break
                 try:
-                    items.append(self.q.get(timeout=left))
+                    items.append(self._get_live(timeout=left))
                 except queue.Empty:
                     break
+            # a submitter may have timed out while we gathered the
+            # batch — drop its slot before spending device time on it
+            items = [it for it in items if not it[2].get("cancelled")]
+            if not items:
+                continue
             try:
                 self._run(items)
             except Exception as e:  # noqa: BLE001 — fan the error out
@@ -238,7 +256,7 @@ def _build_backend(args, cfg, device_norm=None):
     return run_batch, name, img_size
 
 
-def _decode_image(req: dict):
+def _decode_image(req: dict, image_root: str | None = None):
     import cv2
     import numpy as np
 
@@ -247,7 +265,20 @@ def _decode_image(req: dict):
         img = cv2.imdecode(np.frombuffer(raw, np.uint8),
                            cv2.IMREAD_COLOR)
     elif "image_path" in req:
-        img = cv2.imread(req["image_path"], cv2.IMREAD_COLOR)
+        # server-local file reads let any client with HTTP access probe
+        # the filesystem (ADVICE r3) — gate them behind an explicit
+        # --image-root and confine resolved paths to that directory
+        if image_root is None:
+            raise ValueError(
+                "image_path requests are disabled; start the server "
+                "with --image-root DIR to allow reads under DIR, or "
+                "send image_b64")
+        path = osp.realpath(osp.join(image_root, req["image_path"]))
+        if not (path + os.sep).startswith(
+                osp.realpath(image_root) + os.sep) \
+                and path != osp.realpath(image_root):
+            raise ValueError("image_path escapes --image-root")
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
     else:
         raise ValueError("request needs image_b64 or image_path")
     if img is None:
@@ -274,6 +305,10 @@ def main():
                    help="wait for the one-time startup compile (a "
                         "remote XLA compiler can take minutes on the "
                         "flagship program)")
+    p.add_argument("--image-root", default=None,
+                   help="allow {'image_path': ...} requests, resolved "
+                        "under (and confined to) this directory; "
+                        "disabled by default — clients send image_b64")
     p.add_argument("--quant-collection", default=None)
     p.add_argument("--platform", default=None)
     p.add_argument("--cfg-options", nargs="*", default=[])
@@ -341,7 +376,7 @@ def main():
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
-                img = _decode_image(req)
+                img = _decode_image(req, image_root=args.image_root)
                 expr = req["expression"]
             except Exception as e:  # noqa: BLE001
                 self._json(400, {"error": f"bad request: {e}"})
