@@ -98,6 +98,11 @@ class BEiT3Config:
     # converted checkpoints load unchanged; accuracy impact must be
     # validated on real weights before production use.
     token_prune_layer: int = 4  # prune after this many layers have run
+    token_prune_force: bool = False  # bypass the measured accuracy
+    # envelope (prune depth >= num_layers/3, keep >= 75% of patch
+    # tokens — ROADMAP "Token pruning").  Outside-envelope configs
+    # raise unless this is set; perf-lever measurements (bench.py) and
+    # deliberately-validated deployments set it explicitly.
 
     @property
     def num_patches(self) -> int:
@@ -560,6 +565,26 @@ class BEiT3Encoder(nn.Module):
                             f"{cfg.num_layers - 2})")
                 assert prune_layer >= 0, (cfg.token_prune_layer,
                                           cfg.num_layers)
+                if not cfg.token_prune_force:
+                    # Measured accuracy envelope (ROADMAP "Token
+                    # pruning": shallow/coarse pruning collapses the
+                    # token branch; mid-stack keep>=75% measured
+                    # zero-loss).  Refuse configurations outside it
+                    # unless explicitly forced — a silent accuracy
+                    # cliff must not be one config key away
+                    # (VERDICT r3 #3).
+                    min_layer = max(1, round(cfg.num_layers / 3))
+                    min_keep = int(np.ceil(0.75 * (split - 1)))
+                    if prune_layer < min_layer or prune_keep < min_keep:
+                        raise ValueError(
+                            f"token_prune_keep={prune_keep} at "
+                            f"token_prune_layer={prune_layer} is outside "
+                            f"the measured-safe envelope (prune at layer "
+                            f">= {min_layer} = num_layers/3 and keep >= "
+                            f"{min_keep} = 75% of {split - 1} patch "
+                            f"tokens — ROADMAP 'Token pruning').  Set "
+                            f"token_prune_force=True to run anyway "
+                            f"(validate accuracy on real weights first).")
             prune_idx = None
             for i in range(cfg.num_layers):
                 want_attn = (prune_keep is not None

@@ -98,6 +98,7 @@ def build_model(model_cfg: Dict[str, Any], *, img_size: int = 640,
         # attention after token_prune_layer (BEiT3Config)
         token_prune_keep=ve.get("token_prune_keep", None),
         token_prune_layer=ve.get("token_prune_layer", 4),
+        token_prune_force=ve.get("token_prune_force", False),
     )
     extra = {
         k: ve[k]

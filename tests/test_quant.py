@@ -327,7 +327,8 @@ def test_quant_refuses_training_apply():
     params = ref.init(jax.random.PRNGKey(0), **batch)
 
     for kw in ({"quant": "int8"},
-               {"token_prune_keep": 2, "token_prune_layer": 0}):
+               {"token_prune_keep": 2, "token_prune_layer": 0,
+                "token_prune_force": True}):
         m = build(**kw)
         # init must still work (full param tree for restore templates)
         v = m.init(jax.random.PRNGKey(0), **batch)

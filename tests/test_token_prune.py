@@ -31,7 +31,8 @@ def test_prune_params_and_shapes():
     img, ids, pad = _inputs()
     full = BEiT3Encoder(BEiT3Config(**KW))
     pruned = BEiT3Encoder(BEiT3Config(token_prune_keep=5,
-                                      token_prune_layer=1, **KW))
+                                      token_prune_layer=1,
+                                      token_prune_force=True, **KW))
     v = full.init(jax.random.PRNGKey(0), img, ids, pad)
     vp = pruned.init(jax.random.PRNGKey(0), img, ids, pad)
     assert (jax.tree_util.tree_structure(v)
@@ -79,7 +80,8 @@ def test_prune_is_exact_subset_at_prune_point():
     keep, layer = 5, 1
     full = BEiT3Encoder(BEiT3Config(**KW))
     pruned = BEiT3Encoder(BEiT3Config(token_prune_keep=keep,
-                                      token_prune_layer=layer, **KW))
+                                      token_prune_layer=layer,
+                                      token_prune_force=True, **KW))
     v = full.init(jax.random.PRNGKey(0), img, ids, pad)
 
     filt = (lambda mdl, _: bool(mdl.name) and "layers_" in mdl.name)
@@ -111,7 +113,8 @@ def test_prune_model_token_branch_only():
     from simvg_tpu.models.heads.tgqs_head import TGQSHeadConfig
 
     cfg = SimVGConfig(
-        beit3=BEiT3Config(token_prune_keep=5, token_prune_layer=1, **KW),
+        beit3=BEiT3Config(token_prune_keep=5, token_prune_layer=1,
+                          token_prune_force=True, **KW),
         head=TGQSHeadConfig(num_queries=2, in_channels=32, embed_dim=32,
                             num_decoder_layers=2, num_tgqg_layers=1,
                             attn_dropout=0.0, ffn_dropout=0.0,
@@ -142,6 +145,7 @@ def test_prune_composes_with_int8():
     for quant in ("int8", "int8_static"):
         enc = BEiT3Encoder(BEiT3Config(token_prune_keep=5,
                                        token_prune_layer=1,
+                                       token_prune_force=True,
                                        quant=quant, **KW))
         v = enc.init(jax.random.PRNGKey(0), img, ids, pad)
         iv, tv, cv = enc.apply(v, img, ids, pad)
@@ -162,7 +166,8 @@ def test_prune_composes_with_export(tmp_path):
     from simvg_tpu.models.heads.tgqs_head import TGQSHeadConfig
 
     cfg = SimVGConfig(
-        beit3=BEiT3Config(token_prune_keep=5, token_prune_layer=1, **KW),
+        beit3=BEiT3Config(token_prune_keep=5, token_prune_layer=1,
+                          token_prune_force=True, **KW),
         head=TGQSHeadConfig(num_queries=2, in_channels=32, embed_dim=32,
                             num_decoder_layers=2, num_tgqg_layers=1,
                             attn_dropout=0.0, ffn_dropout=0.0,
@@ -192,7 +197,8 @@ def test_prune_refuses_training():
     from simvg_tpu.models.heads.tgqs_head import TGQSHeadConfig
 
     cfg = SimVGConfig(
-        beit3=BEiT3Config(token_prune_keep=5, token_prune_layer=1, **KW),
+        beit3=BEiT3Config(token_prune_keep=5, token_prune_layer=1,
+                          token_prune_force=True, **KW),
         head=TGQSHeadConfig(num_queries=2, in_channels=32, embed_dim=32,
                             num_decoder_layers=2, num_tgqg_layers=1,
                             attn_dropout=0.0, ffn_dropout=0.0,
@@ -214,7 +220,8 @@ def test_prune_layer_default_clamps_explicit_rejects():
     out-of-range layer errors instead of silently moving the prune."""
     img, ids, pad = _inputs()
     # default 4 on a 3-layer model -> clamped to 1, runs
-    enc = BEiT3Encoder(BEiT3Config(token_prune_keep=5, **KW))
+    enc = BEiT3Encoder(BEiT3Config(token_prune_keep=5,
+                                   token_prune_force=True, **KW))
     v = enc.init(jax.random.PRNGKey(0), img, ids, pad)
     iv, _, _ = enc.apply(v, img, ids, pad)
     assert iv.shape[1] == 5
@@ -250,3 +257,77 @@ def test_prune_requires_unrolled_layers():
                                    **KW))
     with pytest.raises(AssertionError, match="scan_layers"):
         enc.init(jax.random.PRNGKey(0), img, ids, pad)
+
+
+def test_prune_envelope_guard():
+    """VERDICT r4: the measured accuracy envelope (prune at layer >=
+    num_layers/3, keep >= 75% of patch tokens — ROADMAP 'Token
+    pruning') is enforced by default; outside-envelope configs raise
+    unless token_prune_force=True.  16 patch tokens -> min_keep=12;
+    3 layers -> min_layer=1."""
+    img, ids, pad = _inputs(seed=4)
+    full = BEiT3Encoder(BEiT3Config(**KW))
+    v = full.init(jax.random.PRNGKey(0), img, ids, pad)
+
+    # in-envelope: keep=12 (75% of 16) at layer 1 runs without force
+    ok = BEiT3Encoder(BEiT3Config(token_prune_keep=12,
+                                  token_prune_layer=1, **KW))
+    iv, _, _ = ok.apply(v, img, ids, pad)
+    assert iv.shape == (2, 12, 32)
+
+    # keep below the envelope floor refuses...
+    bad = BEiT3Encoder(BEiT3Config(token_prune_keep=11,
+                                   token_prune_layer=1, **KW))
+    with pytest.raises(ValueError, match="measured-safe envelope"):
+        bad.apply(v, img, ids, pad)
+    # ...and force bypasses (the bench/lever-measurement path)
+    forced = BEiT3Encoder(BEiT3Config(token_prune_keep=11,
+                                      token_prune_layer=1,
+                                      token_prune_force=True, **KW))
+    iv, _, _ = forced.apply(v, img, ids, pad)
+    assert iv.shape == (2, 11, 32)
+
+    # a too-shallow prune layer refuses on a deeper model (6 layers ->
+    # min_layer=2) even with keep at 100%
+    deep = dict(KW, num_layers=6)
+    shallow = BEiT3Encoder(BEiT3Config(token_prune_keep=P,
+                                       token_prune_layer=1, **deep))
+    v6 = BEiT3Encoder(BEiT3Config(**deep)).init(
+        jax.random.PRNGKey(0), img, ids, pad)
+    with pytest.raises(ValueError, match="measured-safe envelope"):
+        shallow.apply(v6, img, ids, pad)
+
+
+def test_prune_envelope_through_builder():
+    """token_prune_force flows through the config-dict builder
+    (build_model), so a user config outside the envelope fails at
+    first apply with the envelope message, and force in the config
+    dict unlocks it."""
+    from simvg_tpu.models.builder import build_model
+
+    def _cfg(**extra):
+        return dict(
+            type="MIXDETRMB",
+            vis_enc=dict(type="beit3", img_size=64, patch_size=16,
+                         embed_dim=32, num_heads=4, ffn_dim=64,
+                         num_layers=3, vocab_size=60, drop_path_rate=0.0,
+                         use_bf16=False, token_prune_layer=1, **extra),
+            head=dict(type="TextGuidedQuerySelectKDDETRHead",
+                      num_queries=2, in_channels=32, embed_dim=32,
+                      num_decoder_layers=2, num_tgqg_layers=1),
+        )
+
+    img, ids, pad = _inputs()
+    shp = jnp.full((2, 2), 64, jnp.int32)
+    plain, _ = build_model(_cfg(), img_size=64)
+    v = plain.init(jax.random.PRNGKey(0), image=img, text_ids=ids,
+                   text_padding_mask=pad, img_shape=shp)
+    bad, _ = build_model(_cfg(token_prune_keep=5), img_size=64)
+    with pytest.raises(ValueError, match="measured-safe envelope"):
+        bad.apply(v, image=img, text_ids=ids, text_padding_mask=pad,
+                  img_shape=shp)
+    forced, _ = build_model(_cfg(token_prune_keep=5,
+                                 token_prune_force=True), img_size=64)
+    out = forced.apply(v, image=img, text_ids=ids, text_padding_mask=pad,
+                       img_shape=shp)
+    assert np.all(np.isfinite(np.asarray(out["bbox_token"])))
