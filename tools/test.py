@@ -35,6 +35,10 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    from simvg_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # restarts/auto-resume skip recompiles
     if args.distributed or os.environ.get("COORDINATOR_ADDRESS"):
         # same contract as tools/train.py (dist_test.sh header)
         if os.environ.get("COORDINATOR_ADDRESS"):
