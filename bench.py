@@ -454,13 +454,9 @@ def main():
     # Persistent compilation cache: the remote compiler costs minutes
     # per midsize program through the tunnel; warmed by dev runs so the
     # driver's end-of-round run reuses the executables.
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          0.0)
-    except Exception:  # noqa: BLE001 - older jax knob names
-        pass
+    from simvg_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from __graft_entry__ import _batch, _flagship
     from simvg_tpu.models import SimVGModel, SimVGConfig
@@ -525,7 +521,10 @@ def main():
         for keep in (235, 107):
             pmodel = _SM(_SC(
                 beit3=_dc.replace(cfg.beit3, token_prune_keep=keep,
-                                  token_prune_layer=4),
+                                  token_prune_layer=4,
+                                  # perf-lever measurement: K below the
+                                  # accuracy envelope on purpose
+                                  token_prune_force=True),
                 head=cfg.head))
             s_after = 1 + keep + t
             extra[f"token_prune_s{s_after}_images_per_sec_per_chip"] = \
@@ -537,14 +536,23 @@ def main():
     if not _extra_budget_ok(extra, "train_step"):
         _emit(base_infer, extra)
         return
-    # 2) full train step on the flagship (scan layout, like the configs)
+    # 2) full train step on the flagship, unrolled + NO remat (the
+    # shipped ViT-base recipe since r4: the bf16 bwd at bs=32 fits in
+    # 16G because the fused-attention VJP never materializes S^2 —
+    # measured 283 img/s vs 226 with scan+remat, ROADMAP "Training
+    # floor").  Fallback: scan+remat, which always fits.
     train_cfg = SimVGConfig(
         beit3=BEiT3Config.base(img_size=640, patch_size=32,
-                               dtype=jnp.bfloat16, scan_layers=True,
-                               remat=True,  # required to fit bwd at
-                               # bs=32 in 16G HBM (like the configs)
+                               dtype=jnp.bfloat16, scan_layers=False,
+                               remat=False,
                                attn_impl="pallas"),  # custom-VJP fused
         # attention: 224 vs 199 img/s over XLA at S=421
+        head=TGQSHeadConfig(in_channels=768, dtype=jnp.bfloat16),
+    )
+    train_cfg_fallback = SimVGConfig(
+        beit3=BEiT3Config.base(img_size=640, patch_size=32,
+                               dtype=jnp.bfloat16, scan_layers=True,
+                               remat=True, attn_impl="pallas"),
         head=TGQSHeadConfig(in_channels=768, dtype=jnp.bfloat16),
     )
     tb = _device_batch(BATCH, t, 640, rng=1, with_gt=True)
@@ -554,6 +562,14 @@ def main():
                    label="train") / n_chips, 2)
     except Exception as e:  # noqa: BLE001
         extra["train_step_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            extra["train_step_scan_remat_images_per_sec_per_chip"] = \
+                round(_retry(lambda: bench_train_step(
+                    SimVGModel(train_cfg_fallback), tb),
+                    label="train_fb") / n_chips, 2)
+        except Exception as e2:  # noqa: BLE001
+            extra["train_step_fallback_error"] = \
+                f"{type(e2).__name__}: {e2}"[:200]
 
     if not _extra_budget_ok(extra, "large32"):
         _emit(base_infer, extra)

@@ -56,8 +56,11 @@ model = dict(
         vocab_size=64010,
         freeze_layer=-1,
         vision_embed_proj_interpolate=True,
-        scan_layers=True,  # one layer body in the HLO: far faster compiles
-        remat=True,  # activation ckpt: the bf16 bwd at bs=32 needs it in 16G HBM
+        scan_layers=False,  # unrolled: +2% over scan and it unlocks
+        # remat=False (scan+no-remat trips a TPU compiler failure)
+        remat=False,  # bf16 bwd at bs=32 FITS in 16G without ckpt (the
+        # fused-attention VJP never materializes S^2); measured 283 vs
+        # 226 img/s/chip with remat (ROADMAP "Training floor", r4)
         attn_impl="pallas",  # fused kernel: +4% fwd, +13% train step at S=421 (v5e)
         pretrain="pretrain_weights/beit3_base_patch16_224.zip",
     ),

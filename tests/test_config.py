@@ -85,7 +85,10 @@ def test_672_lever_config_composes():
     assert c["model"]["vis_enc"]["img_size"] == 672
     # recipe inherited from refcoco_onestage.py
     assert c["model"]["vis_enc"]["attn_impl"] == "pallas"
-    assert c["model"]["vis_enc"]["scan_layers"] is True
+    # unrolled no-remat is the shipped train recipe since r4
+    # (ROADMAP "Training floor": 283 vs 226 img/s)
+    assert c["model"]["vis_enc"]["scan_layers"] is False
+    assert c["model"]["vis_enc"]["remat"] is False
     assert c["data"]["samples_per_gpu"] == 32
     for split in ("train", "val", "testA", "testB"):
         ops = {op["type"]: op for op in c["data"][split]["pipeline"]}
