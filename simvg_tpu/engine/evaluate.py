@@ -176,6 +176,10 @@ def evaluate(
             n = max(n, 1)
             out[f"{b}_det_acc"] = hits / n * 100.0
             out[f"{b}_miou"] = iou_sum / n * 100.0
+        # cross-process-aggregated REAL sample count (wrap-pad
+        # duplicates excluded) — must equal len(split) regardless of
+        # sharding; the multihost tests assert exactly that
+        out["n_samples"] = float(n)
         out["det_acc"] = (out["decoder_det_acc"]
                           + out["token_det_acc"]) / 2.0
         # summary miou = mask mIoU when masks were evaluated (the
