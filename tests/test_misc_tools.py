@@ -104,3 +104,18 @@ def test_parity_probe_on_tiny_fixture():
                   proc.stdout)
     assert m, proc.stdout[-1500:]
     assert float(m.group(1)) < 1e-4, proc.stdout[-1500:]
+
+
+def test_vis_cam_onestage_family(synth, tmp_path):
+    """GradCAM for the SeqTR-style OneStageModel family (reference
+    utils/gradcam_models.py GradCAM_SeqTR): CAM on the zoo backbone's
+    feature map through the lan_enc+fusion+DETR-head scoring stack."""
+    out = tmp_path / "cam_onestage"
+    _run([sys.executable, "tools/misc/vis_cam.py",
+          "configs/smoke/tiny_synth_onestage.py",
+          "--which-set", "val", "--output-dir", str(out),
+          "--num", "2", "--platform", "cpu",
+          "--cfg-options", *_data_opts(synth)])
+    files = os.listdir(out)
+    assert len(files) >= 1, files
+    assert all(os.path.getsize(out / f) > 0 for f in files)

@@ -2,7 +2,15 @@
 """Grad-CAM over the encoder's image-token grid (reference
 tools/misc/vis_cam.py + utils/det_cam_visualizer.py, which used
 pytorch-grad-cam): gradient of the best box score w.r.t. the patch
-features, channel-averaged into a class-activation map."""
+features, channel-averaged into a class-activation map.
+
+Covers BOTH model families:
+- MIXDETRMB (BEiT3 + TGQS head): CAM on the multiway encoder's
+  vision-token grid.
+- OneStageModel (SeqTR-style zoo vis_enc + lan_enc + fusion + DETR
+  head): CAM on the visual backbone's output feature map — the
+  reference's GradCAM_SeqTR pathway (utils/gradcam_models.py), which
+  hooked a backbone layer's activations."""
 
 from __future__ import annotations
 
@@ -74,34 +82,64 @@ def main():
 
         params = attach_static_quant(params, quant_skel)
 
-    enc = BEiT3Encoder(model.cfg.beit3)
-    head = TGQSKDDETRHead(model.cfg.head)
-    enc_params = {"params": params["params"]["beit3"]}
-    head_params = {"params": params["params"]["head"]}
-
-    ps = model.cfg.beit3.patch_size
-    g = img_size // ps
+    ck = ("class_token" if args.branch == "token" else "class_decoder")
     b = inputs["image"].shape[0]
 
-    img_feat, text_feat, cls_feat = enc.apply(
-        enc_params, inputs["image"], inputs["text_ids"],
-        inputs["text_padding_mask"])
-    x_mm = img_feat.reshape(b, g, g, -1)
-    pad_mask = jnp.zeros((b, g, g), bool)
+    if cfg.model.get("type") == "OneStageModel":
+        # SeqTR-style family (reference GradCAM_SeqTR,
+        # utils/gradcam_models.py): CAM on the visual backbone's
+        # output feature map, holding the language/fusion/head stack
+        # as the scoring function.
+        vp = {"params": params["params"]["vis_enc"]}
+        lp = {"params": params["params"]["lan_enc"]}
+        fp = {"params": params["params"]["fusion"]}
+        hp = {"params": params["params"]["head"]}
+        feat = model.vis_enc.apply(vp, inputs["image"])
+        lang = model.lan_enc.apply(lp, inputs["text_ids"])
+        if isinstance(lang, dict):
+            text_feat, text_mask = lang["text_feat"], lang["text_mask"]
+        else:  # pooled modes: [B, N, C], nothing padded
+            text_feat = lang
+            text_mask = jnp.zeros(lang.shape[:2], bool)
 
-    ck = ("class_token" if args.branch == "token" else "class_decoder")
+        def score_fn(feat):
+            fused = model.fusion.apply(fp, feat, text_feat, text_mask)
+            bb, hh, ww, _ = fused.shape
+            out = model.head.apply(
+                hp, fused, jnp.zeros((bb, hh, ww), bool))
+            probs = jax.nn.softmax(out[ck][-1], axis=-1)[..., 0]
+            return probs.max(axis=-1).sum(), out
 
-    def score_fn(x_mm):
-        out = head.apply(head_params, x_mm, pad_mask, cls_feat,
-                         text_feat, inputs["text_padding_mask"])
-        probs = jax.nn.softmax(out[ck][-1], axis=-1)[..., 0]
-        return probs.max(axis=-1).sum(), out
+        (_, out), grads = jax.value_and_grad(
+            score_fn, has_aux=True)(feat)
+        # Grad-CAM: ReLU(sum_c dS/dA_c * A_c) on the backbone grid
+        cam = np.asarray(jax.nn.relu((grads * feat).sum(-1)))
+    else:
+        enc = BEiT3Encoder(model.cfg.beit3)
+        head = TGQSKDDETRHead(model.cfg.head)
+        enc_params = {"params": params["params"]["beit3"]}
+        head_params = {"params": params["params"]["head"]}
 
-    (_, out), grads = jax.value_and_grad(score_fn, has_aux=True)(x_mm)
+        ps = model.cfg.beit3.patch_size
+        g = img_size // ps
 
-    # Grad-CAM: ReLU(sum_c dS/dA_c * A_c)
-    cam = jax.nn.relu((grads * x_mm).sum(-1))
-    cam = np.asarray(cam)
+        img_feat, text_feat, cls_feat = enc.apply(
+            enc_params, inputs["image"], inputs["text_ids"],
+            inputs["text_padding_mask"])
+        x_mm = img_feat.reshape(b, g, g, -1)
+        pad_mask = jnp.zeros((b, g, g), bool)
+
+        def score_fn(x_mm):
+            out = head.apply(head_params, x_mm, pad_mask, cls_feat,
+                             text_feat, inputs["text_padding_mask"])
+            probs = jax.nn.softmax(out[ck][-1], axis=-1)[..., 0]
+            return probs.max(axis=-1).sum(), out
+
+        (_, out), grads = jax.value_and_grad(
+            score_fn, has_aux=True)(x_mm)
+
+        # Grad-CAM: ReLU(sum_c dS/dA_c * A_c)
+        cam = np.asarray(jax.nn.relu((grads * x_mm).sum(-1)))
 
     os.makedirs(args.output_dir, exist_ok=True)
     written = 0
