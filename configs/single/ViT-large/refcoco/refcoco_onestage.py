@@ -7,6 +7,13 @@ model = dict(
     vis_enc=dict(
         vit_type="large",
         pretrain="pretrain_weights/beit3_large_patch16_224.zip",
+        # ViT-L stays on the memory-safe recipe: ~680M params of f32
+        # amsgrad+EMA state already crowd 16G HBM, and 24 unrolled
+        # layers blow up tunnel compile time.  The r4 unrolled
+        # no-remat recipe (ViT-base, ROADMAP "Training floor") is NOT
+        # inherited.
+        scan_layers=True,
+        remat=True,
     ),
     head=dict(
         in_channels=1024,

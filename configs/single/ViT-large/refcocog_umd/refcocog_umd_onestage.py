@@ -6,6 +6,10 @@ data = dict(samples_per_gpu=4, workers_per_gpu=4)
 model = dict(
     vis_enc=dict(
         vit_type="large",
+        # memory-safe recipe for ViT-L (not the inherited r4 unrolled
+        # no-remat ViT-base recipe): see refcoco_onestage.py note
+        scan_layers=True,
+        remat=True,
         pretrain="pretrain_weights/beit3_large_patch16_224.zip",
     ),
     head=dict(
