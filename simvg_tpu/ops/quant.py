@@ -255,14 +255,7 @@ def attach_static_quant(variables, quant_skel, quant_npz=None):
         # re-quantized from the params being attached) — don't haul
         # the npz's full int8 weight set through the host->device
         # tunnel just to discard it
-        import numpy as np
-        from flax import traverse_util
-
-        with np.load(quant_npz) as z:
-            scales = {tuple(k.split("/")): jnp.asarray(z[k])
-                      for k in z.files
-                      if k.split("/")[-1] == "act_scale"}
-        qcol = traverse_util.unflatten_dict(scales)
+        qcol = load_quant_collection(quant_npz, only=("act_scale",))
         variables = dict(variables)
         variables["quant"] = jax.jit(
             lambda p: requantize_weights(p, quant_skel, qcol)
@@ -282,13 +275,16 @@ def attach_static_quant(variables, quant_skel, quant_npz=None):
     return variables
 
 
-def load_quant_collection(path: str):
+def load_quant_collection(path: str, only=None):
     """Inverse of ``save_quant_collection``; returns the collection to
     pass as ``{"params": ..., "quant": <this>}`` to an ``int8_static``
-    model's apply."""
+    model's apply.  ``only`` restricts loading to the named leaf kinds
+    (e.g. ``("act_scale",)``) so callers that re-derive the rest don't
+    pay the host->device transfer for discarded arrays."""
     import numpy as np
     from flax import traverse_util
 
     with np.load(path) as z:
-        flat = {tuple(k.split("/")): jnp.asarray(z[k]) for k in z.files}
+        flat = {tuple(k.split("/")): jnp.asarray(z[k]) for k in z.files
+                if only is None or k.split("/")[-1] in only}
     return traverse_util.unflatten_dict(flat)
