@@ -502,40 +502,6 @@ def main():
     except Exception as e:  # noqa: BLE001
         extra["token_branch_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    if not _extra_budget_ok(extra, "token_prune"):
-        _emit(base_infer, extra)
-        return
-    # 1c) token-branch serving with EViT-style vision-token pruning
-    # (BEiT3Config.token_prune_keep): keep top-K patch tokens by CLS
-    # attention after layer 4 — the sequence-length lever above the
-    # S=421 bandwidth floor.  K chosen so the post-prune joint length
-    # is lane-aligned: 235 -> S=256, 107 -> S=128 (vs 421 unpruned).
-    # Same param tree, so the flagship's random params serve directly.
-    try:
-        import dataclasses as _dc
-
-        from simvg_tpu.models import SimVGModel as _SM, \
-            SimVGConfig as _SC
-
-        pparams = _random_params(model, batch)
-        # 300 = 75% of the 400 patch tokens: the default-safe serving
-        # point (inside the measured accuracy envelope, no force
-        # needed); 235/107 are below-envelope lever measurements.
-        for keep in (300, 235, 107):
-            pmodel = _SM(_SC(
-                beit3=_dc.replace(cfg.beit3, token_prune_keep=keep,
-                                  token_prune_layer=4,
-                                  # perf-lever measurement: K below the
-                                  # accuracy envelope on purpose
-                                  token_prune_force=keep < 300),
-                head=cfg.head))
-            s_after = 1 + keep + t
-            extra[f"token_prune_s{s_after}_images_per_sec_per_chip"] = \
-                round(_retry(lambda m=pmodel: bench_inference(
-                    m, batch, branches="token", params=pparams),
-                    label=f"prune{keep}") / n_chips, 2)
-    except Exception as e:  # noqa: BLE001
-        extra["token_prune_error"] = f"{type(e).__name__}: {e}"[:200]
     if not _extra_budget_ok(extra, "train_step"):
         _emit(base_infer, extra)
         return
@@ -574,6 +540,40 @@ def main():
             extra["train_step_fallback_error"] = \
                 f"{type(e2).__name__}: {e2}"[:200]
 
+    if not _extra_budget_ok(extra, "token_prune"):
+        _emit(base_infer, extra)
+        return
+    # 1c) token-branch serving with EViT-style vision-token pruning
+    # (BEiT3Config.token_prune_keep): keep top-K patch tokens by CLS
+    # attention after layer 4 — the sequence-length lever above the
+    # S=421 bandwidth floor.  K chosen so the post-prune joint length
+    # is lane-aligned: 235 -> S=256, 107 -> S=128 (vs 421 unpruned).
+    # Same param tree, so the flagship's random params serve directly.
+    try:
+        import dataclasses as _dc
+
+        from simvg_tpu.models import SimVGModel as _SM, \
+            SimVGConfig as _SC
+
+        pparams = _random_params(model, batch)
+        # 300 = 75% of the 400 patch tokens: the default-safe serving
+        # point (inside the measured accuracy envelope, no force
+        # needed); 235/107 are below-envelope lever measurements.
+        for keep in (300, 235, 107):
+            pmodel = _SM(_SC(
+                beit3=_dc.replace(cfg.beit3, token_prune_keep=keep,
+                                  token_prune_layer=4,
+                                  # perf-lever measurement: K below the
+                                  # accuracy envelope on purpose
+                                  token_prune_force=keep < 300),
+                head=cfg.head))
+            s_after = 1 + keep + t
+            extra[f"token_prune_s{s_after}_images_per_sec_per_chip"] = \
+                round(_retry(lambda m=pmodel: bench_inference(
+                    m, batch, branches="token", params=pparams),
+                    label=f"prune{keep}") / n_chips, 2)
+    except Exception as e:  # noqa: BLE001
+        extra["token_prune_error"] = f"{type(e).__name__}: {e}"[:200]
     if not _extra_budget_ok(extra, "large32"):
         _emit(base_infer, extra)
         return
