@@ -72,13 +72,17 @@ class BEiT3Config:
     # ~175 MB/layer at bs=32) and recompute only elementwise/LN/
     # attention-prob work — useful when backward-compute-bound.
     quant: str = "none"  # "none" | "int8" | "int8_calib" |
-    # "int8_static": serving-only w8a8 quantization of the encoder's
+    # "int8_static" | "int8_qat": w8a8 quantization of the encoder's
     # parameter matmuls (q/k/v/out + FFN) on the MXU's 2x int8 path —
     # same param layout, so converted checkpoints load unchanged.
     # "int8" quantizes dynamically each forward; "int8_calib" records
     # activation maxima (mutable "quant" collection); "int8_static"
     # serves from pre-quantized weights + calibrated activation scales
-    # (ops/quant.py build_quant_collection)
+    # (ops/quant.py build_quant_collection).  All three are
+    # serving-only (training refuses them).  "int8_qat" is the
+    # TRAINING mode: fake-quant forward + straight-through-estimator
+    # backward, so a checkpoint fine-tuned under it serves accurately
+    # with int8_static.
     scan_layers: bool = False  # lax.scan over the identical encoder
     # layers: ONE layer body in the compiled program instead of
     # num_layers copies — an order of magnitude smaller HLO, much
@@ -132,7 +136,7 @@ def _dense(cfg: BEiT3Config, features: int, name: str) -> nn.Module:
         from simvg_tpu.ops.quant import Int8Dense
 
         mode = {"int8": "dynamic", "int8_calib": "calib",
-                "int8_static": "static"}[cfg.quant]
+                "int8_static": "static", "int8_qat": "qat"}[cfg.quant]
         return Int8Dense(features, dtype=cfg.dtype, kernel_init=init,
                          mode=mode, name=name)
     return nn.Dense(

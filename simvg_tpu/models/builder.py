@@ -91,8 +91,8 @@ def build_model(model_cfg: Dict[str, Any], *, img_size: int = 640,
         remat=ve.get("remat", ve.get("checkpoint_activations", False)
                      or False),
         scan_layers=ve.get("scan_layers", False),
-        # serving quantization (ops/quant.py): "none" | "int8" |
-        # "int8_calib" | "int8_static"
+        # quantization (ops/quant.py): "none" | "int8" | "int8_calib"
+        # | "int8_static" (serving) | "int8_qat" (QAT training)
         quant=ve.get("quant", "none"),
         # token-branch serving lever: keep top-K vision tokens by CLS
         # attention after token_prune_layer (BEiT3Config)

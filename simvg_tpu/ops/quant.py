@@ -96,6 +96,29 @@ class Int8Dense(nn.Module):
             y = x.astype(self.dtype) @ kernel.astype(self.dtype)
             return (y.astype(jnp.float32) + bias).astype(self.dtype)
 
+        if self.mode == "qat":
+            # Quantization-aware training: FAKE-quantize weights and
+            # activations (quantize -> dequantize on the int8 grid) so
+            # the forward sees serving-time rounding while the
+            # backward passes straight through (STE: the quantization
+            # residual is wrapped in stop_gradient, so d(fq(v))/dv =
+            # 1 inside the clip range).  Train with quant="int8_qat",
+            # then serve the resulting checkpoint with int8_static —
+            # the params layout is identical.
+            def fq(v, axis=None):
+                q, s = quantize_symmetric(v, axis=axis)
+                deq = q.astype(jnp.float32) * s
+                v32 = v.astype(jnp.float32)
+                return v32 + jax.lax.stop_gradient(deq - v32)
+
+            if x.size == 0:
+                y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+                return (y.astype(jnp.float32) + bias).astype(self.dtype)
+            w_fq = fq(kernel, axis=0)  # per-output-channel, like serving
+            x_fq = fq(x)  # per-tensor dynamic, like serving
+            y = x_fq.astype(self.dtype) @ w_fq.astype(self.dtype)
+            return (y.astype(jnp.float32) + bias).astype(self.dtype)
+
         if self.mode == "static":
             w_q = self.variable(
                 "quant", "w_q",

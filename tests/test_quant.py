@@ -337,3 +337,94 @@ def test_quant_refuses_training_apply():
         with pytest.raises(AssertionError, match="serving-only"):
             m.apply(v, **batch, deterministic=False,
                     rngs={"dropout": jax.random.PRNGKey(1)})
+
+
+def test_int8_qat_forward_matches_dynamic_and_grads_flow():
+    """quant='int8_qat' (fake-quant + straight-through estimator):
+    the forward sees serving-time int8 rounding (matches the dynamic
+    w8a8 path up to accumulation dtype) while gradients flow as if
+    unquantized — the QAT mode the serving-only guard points users at."""
+    import numpy as np_
+
+    from simvg_tpu.ops.quant import Int8Dense
+
+    x = jnp.asarray(np_.random.default_rng(0).normal(size=(4, 16)),
+                    jnp.float32)
+    qat = Int8Dense(8, dtype=jnp.float32, mode="qat")
+    dyn = Int8Dense(8, dtype=jnp.float32, mode="dynamic")
+    dense = __import__("flax.linen", fromlist=["Dense"]).Dense(8)
+
+    v = qat.init(jax.random.PRNGKey(0), x)
+    y_qat = qat.apply(v, x)
+    y_dyn = dyn.apply(v, x)
+    # same rounding decisions; only the accumulation differs (f32
+    # matmul of dequantized values vs int32 MXU accumulation)
+    np_.testing.assert_allclose(np_.asarray(y_qat), np_.asarray(y_dyn),
+                                rtol=1e-4, atol=1e-4)
+
+    # STE: gradients are the straight-through (unquantized) gradients,
+    # not zero — compare to the plain Dense gradient on the same params
+    def loss_qat(params):
+        return (qat.apply(params, x) ** 2).sum()
+
+    def loss_dense(params):
+        return (dense.apply(params, x) ** 2).sum()
+
+    g_qat = jax.grad(loss_qat)(v)["params"]["kernel"]
+    g_dense = jax.grad(loss_dense)(v)["params"]["kernel"]
+    assert float(jnp.abs(g_qat).max()) > 0.0
+    # direction agreement: the fake-quant forward perturbs values by
+    # <1% (127-level grid), so gradients track the dense ones closely
+    cos = (g_qat * g_dense).sum() / (
+        jnp.linalg.norm(g_qat) * jnp.linalg.norm(g_dense))
+    assert float(cos) > 0.99, float(cos)
+
+
+def test_int8_qat_training_apply_allowed_then_serves_static():
+    """The training guard admits int8_qat (its whole point) while still
+    refusing the serving modes; a QAT param tree then attaches an
+    int8_static quant collection unchanged (same layout)."""
+    from simvg_tpu.models import SimVGConfig, SimVGModel
+    from simvg_tpu.models.beit3 import BEiT3Config, BEiT3Encoder
+    from simvg_tpu.models.heads.tgqs_head import TGQSHeadConfig
+    from simvg_tpu.ops.quant import attach_static_quant
+
+    kw = dict(img_size=32, patch_size=16, embed_dim=16, num_heads=2,
+              ffn_dim=32, num_layers=1, vocab_size=30,
+              drop_path_rate=0.0, dtype=jnp.float32)
+
+    def build(quant):
+        return SimVGModel(SimVGConfig(
+            beit3=BEiT3Config(quant=quant, **kw),
+            head=TGQSHeadConfig(num_queries=1, in_channels=16,
+                                embed_dim=16, num_decoder_layers=1,
+                                num_tgqg_layers=1, attn_dropout=0.0,
+                                ffn_dropout=0.0, dtype=jnp.float32)))
+
+    batch = dict(
+        image=np.zeros((2, 32, 32, 3), np.float32),
+        text_ids=np.ones((2, 4), np.int32),
+        text_padding_mask=np.zeros((2, 4), np.int32),
+        img_shape=np.full((2, 2), 32, np.int32))
+
+    qat = build("int8_qat")
+    v = qat.init(jax.random.PRNGKey(0), **batch)
+    # training apply runs (deterministic=False) and is differentiable
+    def loss(params):
+        out = qat.apply(params, **batch, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(1)})
+        return (out["bbox_token"].astype(jnp.float32) ** 2).sum()
+
+    g = jax.grad(loss)(v)
+    leaf = g["params"]["beit3"]["layers_0"]["ffn"]["fc1_A"]["kernel"]
+    assert float(jnp.abs(leaf).max()) > 0.0
+
+    # the QAT param tree serves under int8_static with no conversion
+    static = build("int8_static")
+    vs = dict(static.init(jax.random.PRNGKey(0), **batch))
+    skel = vs.pop("quant")
+    assert jax.tree.structure(vs["params"]) == jax.tree.structure(
+        v["params"])
+    served = attach_static_quant({"params": v["params"]}, skel)
+    out = static.apply(served, **batch)
+    assert np.all(np.isfinite(np.asarray(out["bbox_token"])))
