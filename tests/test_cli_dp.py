@@ -70,3 +70,41 @@ def test_single_process_dp_shards_batch_and_matches_1dev(tmp_path):
     first1 = next(x for x in m1 if x["kind"] == "train")
     np.testing.assert_allclose(first8["loss_total"],
                                first1["loss_total"], rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_train_cli_int8_qat_e2e(tmp_path):
+    """Quantization-aware training through the real CLI: one epoch
+    with model.vis_enc.quant=int8_qat (fake-quant + STE — the only
+    quant mode the training guard admits), loss finite, checkpoint
+    written with the standard param layout (serves with int8_static)."""
+    synth = tmp_path / "synth"
+    make_refcoco_style(str(synth), n_train=8, n_val=4)
+    work = tmp_path / "qat"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [
+        sys.executable, "tools/train.py", "configs/smoke/tiny_synth.py",
+        "--platform", "cpu", "--work-dir", str(work),
+        "--cfg-options",
+        "model.vis_enc.quant=int8_qat",
+        # conftest exports 8 virtual CPU devices; keep the global
+        # batch (spg x 8) within the 8-sample synthetic split
+        "data.samples_per_gpu=1",
+        "scheduler_config.max_epoch=1",
+        "evaluate_interval=5",
+        "ema=False",
+        f"data.train.annsfile={synth}/instances.json",
+        f"data.train.imgsfile={synth}/images",
+        f"data.val.annsfile={synth}/instances.json",
+        f"data.val.imgsfile={synth}/images",
+    ]
+    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    metrics = [json.loads(line) for line in
+               open(os.path.join(work, "metrics.jsonl"))]
+    train = [m for m in metrics if m.get("kind") == "train"]
+    assert train and all(
+        m["loss_total"] > 0 and m["loss_total"] < 1e4 for m in train)
+    assert os.path.isdir(os.path.join(work, "latest"))
