@@ -441,6 +441,17 @@ class BEiT3Encoder(nn.Module):
         matching rows of its spatial padding mask."""
         cfg = self.cfg
         assert images is not None or text_ids is not None
+        if not deterministic and not self.is_initializing():
+            # encoder-level guard (ADVICE r3): SimVGModel refuses the
+            # serving-only quant modes in training, but the task heads
+            # (beit3_heads.py) and direct-encoder users reach here
+            # without that wrapper — int8 rounding has no gradient, so
+            # training with a serving mode silently kills encoder
+            # gradients.  int8_qat (fake-quant + STE) is the training
+            # mode.
+            assert cfg.quant in ("none", "int8_qat"), (
+                f"quant={cfg.quant!r} is serving-only; train with "
+                "quant='int8_qat' (STE) and serve with int8_static")
         split = cfg.seq_vision if images is not None else 0
 
         if images is not None:

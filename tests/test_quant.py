@@ -428,3 +428,27 @@ def test_int8_qat_training_apply_allowed_then_serves_static():
     served = attach_static_quant({"params": v["params"]}, skel)
     out = static.apply(served, **batch)
     assert np.all(np.isfinite(np.asarray(out["bbox_token"])))
+
+
+def test_encoder_level_guard_refuses_serving_quant_in_training():
+    """Direct BEiT3Encoder training applies (the task-head path, no
+    SimVGModel wrapper) also refuse serving quant modes and admit qat."""
+    from simvg_tpu.models.beit3 import BEiT3Config, BEiT3Encoder
+
+    kw = dict(img_size=32, patch_size=16, embed_dim=16, num_heads=2,
+              ffn_dim=32, num_layers=1, vocab_size=60,
+              drop_path_rate=0.1, dtype=jnp.float32)
+    img, ids, pad = _tiny_inputs(7)
+    plain = BEiT3Encoder(BEiT3Config(**kw))
+    v = plain.init(jax.random.PRNGKey(0), img, ids, pad)
+
+    bad = BEiT3Encoder(BEiT3Config(quant="int8", **kw))
+    import pytest
+    with pytest.raises(AssertionError, match="serving-only"):
+        bad.apply(v, img, ids, pad, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(1)})
+
+    ok = BEiT3Encoder(BEiT3Config(quant="int8_qat", **kw))
+    out = ok.apply(v, img, ids, pad, deterministic=False,
+                   rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(np.asarray(out[2], np.float32)).all()
