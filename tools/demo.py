@@ -38,6 +38,10 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    from simvg_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeated invocations skip recompiles
     import jax.numpy as jnp
     import numpy as np
 

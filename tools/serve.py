@@ -321,6 +321,10 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    from simvg_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeated invocations skip recompiles
     import numpy as np
 
     from simvg_tpu.config import Config, parse_cfg_options
