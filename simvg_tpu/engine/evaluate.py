@@ -167,19 +167,24 @@ def evaluate(
     multi = jax.process_count() > 1
     out: Dict[str, float] = {}
     if not is_grec:
+        n_samples = 0.0
         for b in ("decoder", "token"):
             hits, iou_sum, n = (acc[b]["iou_hits"], acc[b]["iou_sum"],
                                 acc[b]["n"])
             if multi:
                 hits, iou_sum, n = _allgather_sum(
                     np.asarray([hits, iou_sum, n], np.float64))
+            # both branches see every sample; capture the aggregated
+            # count BEFORE the divide-by-zero clamp so an empty split
+            # reports n_samples=0, not 1 (ADVICE r4)
+            n_samples = float(n)
             n = max(n, 1)
             out[f"{b}_det_acc"] = hits / n * 100.0
             out[f"{b}_miou"] = iou_sum / n * 100.0
         # cross-process-aggregated REAL sample count (wrap-pad
         # duplicates excluded) — must equal len(split) regardless of
         # sharding; the multihost tests assert exactly that
-        out["n_samples"] = float(n)
+        out["n_samples"] = n_samples
         out["det_acc"] = (out["decoder_det_acc"]
                           + out["token_det_acc"]) / 2.0
         # summary miou = mask mIoU when masks were evaluated (the

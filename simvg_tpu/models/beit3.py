@@ -449,9 +449,12 @@ class BEiT3Encoder(nn.Module):
             # training with a serving mode silently kills encoder
             # gradients.  int8_qat (fake-quant + STE) is the training
             # mode.
-            assert cfg.quant in ("none", "int8_qat"), (
-                f"quant={cfg.quant!r} is serving-only; train with "
-                "quant='int8_qat' (STE) and serve with int8_static")
+            # ValueError, not assert: the failure this guards is silent
+            # gradient death, so it must survive `python -O`.
+            if cfg.quant not in ("none", "int8_qat"):
+                raise ValueError(
+                    f"quant={cfg.quant!r} is serving-only; train with "
+                    "quant='int8_qat' (STE) and serve with int8_static")
         split = cfg.seq_vision if images is not None else 0
 
         if images is not None:

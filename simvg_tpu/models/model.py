@@ -82,17 +82,22 @@ class SimVGModel(nn.Module):
             # token pruning gathers by training-time attention with
             # drop-path active and the decoder branch distills against
             # dummy outputs.  Refuse loudly instead of training wrong.
-            assert self.cfg.beit3.quant in ("none", "int8_qat"), (
-                f"quant={self.cfg.beit3.quant!r} is a serving-only "
-                "flag: jnp.round/clip has zero gradient almost "
-                "everywhere (no STE), so training with it silently "
-                "kills encoder gradients.  For quantization-aware "
-                "training use quant='int8_qat' (fake-quant + STE), "
-                "then serve the checkpoint with int8_static")
-            assert self.cfg.beit3.token_prune_keep is None, (
-                "token_prune_keep is a serving-only flag: the pruning "
-                "top-k would be driven by training-time attention with "
-                "drop-path active")
+            # ValueError, not assert: these failures are silent
+            # gradient death / silently-wrong training, so the guards
+            # must survive `python -O` (ADVICE r4).
+            if self.cfg.beit3.quant not in ("none", "int8_qat"):
+                raise ValueError(
+                    f"quant={self.cfg.beit3.quant!r} is a serving-only "
+                    "flag: jnp.round/clip has zero gradient almost "
+                    "everywhere (no STE), so training with it silently "
+                    "kills encoder gradients.  For quantization-aware "
+                    "training use quant='int8_qat' (fake-quant + STE), "
+                    "then serve the checkpoint with int8_static")
+            if self.cfg.beit3.token_prune_keep is not None:
+                raise ValueError(
+                    "token_prune_keep is a serving-only flag: the "
+                    "pruning top-k would be driven by training-time "
+                    "attention with drop-path active")
 
         prune = self.cfg.beit3.token_prune_keep is not None
         if prune:

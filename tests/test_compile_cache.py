@@ -18,17 +18,28 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
-from simvg_tpu.utils.compile_cache import enable_compilation_cache
+from simvg_tpu.utils.compile_cache import (enable_compilation_cache,
+                                           _machine_key)
+# every choice of base dir gets a per-machine subdirectory: entries
+# AOT-compiled by a different host CPU must never be loaded here
+# (cpu_aot_loader feature-mismatch warnings / SIGILL hazard)
+key = _machine_key()
+assert key.startswith("m-") and len(key) == 18
 enable_compilation_cache({str(tmp_path)!r})
-assert jax.config.jax_compilation_cache_dir == {str(tmp_path)!r}, \\
+assert jax.config.jax_compilation_cache_dir == \\
+    os.path.join({str(tmp_path)!r}, key), \\
     jax.config.jax_compilation_cache_dir
 # env var wins over the default when no explicit dir is passed
 os.environ["JAX_COMPILATION_CACHE_DIR"] = {str(tmp_path / "env")!r}
 enable_compilation_cache()
-assert jax.config.jax_compilation_cache_dir == {str(tmp_path / "env")!r}
+assert jax.config.jax_compilation_cache_dir == \\
+    os.path.join({str(tmp_path / "env")!r}, key)
 # a jit actually populates the cache directory
 import jax.numpy as jnp
 jax.jit(lambda x: x * 2)(jnp.ones((8,))).block_until_ready()
+import glob
+assert glob.glob(os.path.join({str(tmp_path / "env")!r}, key, "*")), \\
+    "cache subdir not populated"
 print("CACHE_OK")
 """
     env = dict(os.environ)

@@ -334,7 +334,7 @@ def test_quant_refuses_training_apply():
         v = m.init(jax.random.PRNGKey(0), **batch)
         assert jax.tree.structure(
             v.get("params")) == jax.tree.structure(params["params"])
-        with pytest.raises(AssertionError, match="serving-only"):
+        with pytest.raises(ValueError, match="serving-only"):
             m.apply(v, **batch, deterministic=False,
                     rngs={"dropout": jax.random.PRNGKey(1)})
 
@@ -444,7 +444,7 @@ def test_encoder_level_guard_refuses_serving_quant_in_training():
 
     bad = BEiT3Encoder(BEiT3Config(quant="int8", **kw))
     import pytest
-    with pytest.raises(AssertionError, match="serving-only"):
+    with pytest.raises(ValueError, match="serving-only"):
         bad.apply(v, img, ids, pad, deterministic=False,
                   rngs={"dropout": jax.random.PRNGKey(1)})
 

@@ -35,12 +35,22 @@ def _start_server(extra, port):
          "--batch-timeout-ms", "40"] + extra,
         cwd=REPO, env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True)
+    # Drain stdout continuously on a thread: a server that logs more
+    # than the 64 KB pipe buffer before binding (e.g. XLA warning spew)
+    # would otherwise block mid-write and never become healthy.
+    out_lines = []
+
+    def _drain():
+        for line in proc.stdout:
+            out_lines.append(line)
+        proc.stdout.close()
+
+    threading.Thread(target=_drain, daemon=True).start()
     # wait for warmup + listen line
     deadline = time.monotonic() + 300
     while time.monotonic() < deadline:
         if proc.poll() is not None:
-            raise AssertionError(
-                "server died:\n" + (proc.stdout.read() or ""))
+            raise AssertionError("server died:\n" + "".join(out_lines))
         try:
             with urllib.request.urlopen(
                     f"http://127.0.0.1:{port}/healthz", timeout=2) as r:
@@ -49,7 +59,8 @@ def _start_server(extra, port):
         except Exception:  # noqa: BLE001
             time.sleep(1.0)
     proc.kill()
-    raise AssertionError("server never became healthy")
+    raise AssertionError("server never became healthy:\n"
+                         + "".join(out_lines[-200:]))
 
 
 def _jpg_b64(seed=0, size=80):

@@ -209,7 +209,7 @@ def test_prune_refuses_training():
     shp = jnp.full((2, 2), 64, jnp.int32)
     v = model.init(jax.random.PRNGKey(0), image=img, text_ids=ids,
                    text_padding_mask=pad, img_shape=shp)
-    with pytest.raises(AssertionError, match="serving-only"):
+    with pytest.raises(ValueError, match="serving-only"):
         model.apply(v, image=img, text_ids=ids, text_padding_mask=pad,
                     img_shape=shp, deterministic=False,
                     rngs={"dropout": jax.random.PRNGKey(1)})

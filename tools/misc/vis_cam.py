@@ -94,7 +94,10 @@ def main():
         lp = {"params": params["params"]["lan_enc"]}
         fp = {"params": params["params"]["fusion"]}
         hp = {"params": params["params"]["head"]}
-        feat = model.vis_enc.apply(vp, inputs["image"])
+        # pin eval semantics explicitly rather than relying on each
+        # module's default flag (ADVICE r4)
+        feat = model.vis_enc.apply(vp, inputs["image"],
+                                   deterministic=True)
         lang = model.lan_enc.apply(lp, inputs["text_ids"])
         if isinstance(lang, dict):
             text_feat, text_mask = lang["text_feat"], lang["text_mask"]
@@ -106,7 +109,8 @@ def main():
             fused = model.fusion.apply(fp, feat, text_feat, text_mask)
             bb, hh, ww, _ = fused.shape
             out = model.head.apply(
-                hp, fused, jnp.zeros((bb, hh, ww), bool))
+                hp, fused, jnp.zeros((bb, hh, ww), bool),
+                deterministic=True)
             probs = jax.nn.softmax(out[ck][-1], axis=-1)[..., 0]
             return probs.max(axis=-1).sum(), out
 
