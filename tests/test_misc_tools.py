@@ -79,7 +79,7 @@ def test_inference_time(synth):
     assert re.search(r"p50|median", proc.stdout, re.I), proc.stdout
 
 
-@pytest.mark.parametrize("tool", ["attn_visual", "vis_cam", "heatmap"])
+@pytest.mark.parametrize("tool", ["attn_visual", "vis_cam"])
 def test_visualization_tools(synth, tmp_path, tool):
     out = tmp_path / tool
     _run([sys.executable, f"tools/misc/{tool}.py", CFG,
@@ -89,6 +89,35 @@ def test_visualization_tools(synth, tmp_path, tool):
     files = os.listdir(out)
     assert len(files) >= 1, files
     assert all(os.path.getsize(out / f) > 0 for f in files)
+
+
+def test_heatmap_raw_image(tmp_path):
+    """heatmap.py: single RAW image + free-text expression -> CAM
+    overlay with the predicted box + score drawn (reference
+    tools/misc/heatmap.py plot_cam_image semantics, not a dataset
+    sweep)."""
+    import cv2
+    import numpy as np
+
+    img = np.random.default_rng(0).integers(
+        0, 255, (90, 120, 3), np.uint8)
+    cv2.rectangle(img, (20, 20), (60, 60), (0, 255, 0), -1)
+    path = str(tmp_path / "raw.jpg")
+    cv2.imwrite(path, img)
+    out = tmp_path / "cam"
+    proc = _run([sys.executable, "tools/misc/heatmap.py", CFG,
+                 "--image-path", path, "--text", "the green box",
+                 "--save-dir", str(out), "--branch", "decoder",
+                 "--platform", "cpu"])
+    # printed contract: box in ORIGINAL-image scale + score
+    m = re.search(r"box \(xyxy, original scale\): \[([^\]]+)\] "
+                  r"score: ([\d.]+)", proc.stdout)
+    assert m, proc.stdout
+    box = [float(v) for v in m.group(1).split(",")]
+    assert all(np.isfinite(box)) and max(box) <= 120 + 1e-3
+    files = os.listdir(out)
+    assert files and os.path.getsize(out / files[0]) > 0
+    assert "decoder-heatmap" in files[0]
 
 
 def test_parity_probe_on_tiny_fixture():

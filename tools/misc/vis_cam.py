@@ -25,67 +25,21 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.dirname(
     osp.abspath(__file__)))))
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("config")
-    p.add_argument("checkpoint", nargs="?", default=None)
-    p.add_argument("--which-set", default="val")
-    p.add_argument("--output-dir", default="cam_out")
-    p.add_argument("--num", type=int, default=8)
-    p.add_argument("--branch", default="token",
-                   choices=["token", "decoder"])
-    p.add_argument("--platform", default=None)
-    p.add_argument("--cfg-options", nargs="*", default=[],
-                   help="dotted overrides key=value")
-    args = p.parse_args()
-
-    if args.platform:
-        os.environ["JAX_PLATFORMS"] = args.platform
-
-    import cv2
+def compute_cam(model, params, inputs, branch, img_size, family=None):
+    """Grad-CAM grids for a batch: ReLU(sum_c dS/dA_c * A_c), where S is
+    the best query's object score of `branch` and A the image feature
+    grid.  Shared CAM core for vis_cam.py (dataset sweep) and heatmap.py
+    (single raw image + prediction overlay).  Returns np [B, h, w]."""
     import jax
-
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
-    from simvg_tpu.config import Config, parse_cfg_options
-    from simvg_tpu.data.builder import (
-        build_dataset_from_cfg,
-        build_loader_from_cfg,
-    )
     from simvg_tpu.models.beit3 import BEiT3Encoder
-    from simvg_tpu.models.builder import build_model
     from simvg_tpu.models.heads.tgqs_head import TGQSKDDETRHead
-    from simvg_tpu.utils.checkpoint import load_checkpoint
 
-    cfg = Config.fromfile(args.config)
-    cfg.merge_from_dict(parse_cfg_options(args.cfg_options))
-    img_size = cfg.get("img_size", 640)
-    model, _ = build_model(cfg.model, img_size=img_size)
-    ds = build_dataset_from_cfg(cfg.data[args.which_set],
-                                dataset_type=cfg.get("dataset"))
-    loader = build_loader_from_cfg(ds, cfg, train=False, canvas=img_size)
-    batch = next(iter(loader))
-    inputs = {k: jnp.asarray(batch[k]) for k in
-              ("image", "text_ids", "text_padding_mask", "img_shape")}
-
-    params = dict(model.init(jax.random.PRNGKey(0), **inputs))
-    # int8_static models carry a "quant" collection checkpoints never
-    # have (ops/quant.attach_static_quant rebuilds it after restore)
-    quant_skel = params.pop("quant", None)
-    if args.checkpoint:
-        params = load_checkpoint(args.checkpoint,
-                                 params_template=params)["params"]
-    if quant_skel is not None:
-        from simvg_tpu.ops.quant import attach_static_quant
-
-        params = attach_static_quant(params, quant_skel)
-
-    ck = ("class_token" if args.branch == "token" else "class_decoder")
+    ck = "class_token" if branch == "token" else "class_decoder"
     b = inputs["image"].shape[0]
 
-    if cfg.model.get("type") == "OneStageModel":
+    if family == "OneStageModel":
         # SeqTR-style family (reference GradCAM_SeqTR,
         # utils/gradcam_models.py): CAM on the visual backbone's
         # output feature map, holding the language/fusion/head stack
@@ -117,37 +71,95 @@ def main():
         (_, out), grads = jax.value_and_grad(
             score_fn, has_aux=True)(feat)
         # Grad-CAM: ReLU(sum_c dS/dA_c * A_c) on the backbone grid
-        cam = np.asarray(jax.nn.relu((grads * feat).sum(-1)))
-    else:
-        enc = BEiT3Encoder(model.cfg.beit3)
-        head = TGQSKDDETRHead(model.cfg.head)
-        enc_params = {"params": params["params"]["beit3"]}
-        head_params = {"params": params["params"]["head"]}
+        return np.asarray(jax.nn.relu((grads * feat).sum(-1)))
 
-        ps = model.cfg.beit3.patch_size
-        g = img_size // ps
+    enc = BEiT3Encoder(model.cfg.beit3)
+    head = TGQSKDDETRHead(model.cfg.head)
+    enc_params = {"params": params["params"]["beit3"]}
+    head_params = {"params": params["params"]["head"]}
 
-        img_feat, text_feat, cls_feat = enc.apply(
-            enc_params, inputs["image"], inputs["text_ids"],
-            inputs["text_padding_mask"])
-        x_mm = img_feat.reshape(b, g, g, -1)
-        pad_mask = jnp.zeros((b, g, g), bool)
+    ps = model.cfg.beit3.patch_size
+    g = img_size // ps
 
-        def score_fn(x_mm):
-            out = head.apply(head_params, x_mm, pad_mask, cls_feat,
-                             text_feat, inputs["text_padding_mask"])
-            probs = jax.nn.softmax(out[ck][-1], axis=-1)[..., 0]
-            return probs.max(axis=-1).sum(), out
+    img_feat, text_feat, cls_feat = enc.apply(
+        enc_params, inputs["image"], inputs["text_ids"],
+        inputs["text_padding_mask"])
+    x_mm = img_feat.reshape(b, g, g, -1)
+    pad_mask = jnp.zeros((b, g, g), bool)
 
-        (_, out), grads = jax.value_and_grad(
-            score_fn, has_aux=True)(x_mm)
+    def score_fn(x_mm):
+        out = head.apply(head_params, x_mm, pad_mask, cls_feat,
+                         text_feat, inputs["text_padding_mask"])
+        probs = jax.nn.softmax(out[ck][-1], axis=-1)[..., 0]
+        return probs.max(axis=-1).sum(), out
 
-        # Grad-CAM: ReLU(sum_c dS/dA_c * A_c)
-        cam = np.asarray(jax.nn.relu((grads * x_mm).sum(-1)))
+    (_, out), grads = jax.value_and_grad(score_fn, has_aux=True)(x_mm)
+
+    # Grad-CAM: ReLU(sum_c dS/dA_c * A_c)
+    return np.asarray(jax.nn.relu((grads * x_mm).sum(-1)))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("checkpoint", nargs="?", default=None)
+    p.add_argument("--which-set", default="val")
+    p.add_argument("--output-dir", default="cam_out")
+    p.add_argument("--num", type=int, default=8)
+    p.add_argument("--branch", default="token",
+                   choices=["token", "decoder"])
+    p.add_argument("--platform", default=None)
+    p.add_argument("--cfg-options", nargs="*", default=[],
+                   help="dotted overrides key=value")
+    args = p.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+
+    import cv2
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from simvg_tpu.config import Config, parse_cfg_options
+    from simvg_tpu.data.builder import (
+        build_dataset_from_cfg,
+        build_loader_from_cfg,
+    )
+    from simvg_tpu.models.builder import build_model
+    from simvg_tpu.utils.checkpoint import load_checkpoint
+
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_dict(parse_cfg_options(args.cfg_options))
+    img_size = cfg.get("img_size", 640)
+    model, _ = build_model(cfg.model, img_size=img_size)
+    ds = build_dataset_from_cfg(cfg.data[args.which_set],
+                                dataset_type=cfg.get("dataset"))
+    loader = build_loader_from_cfg(ds, cfg, train=False, canvas=img_size)
+    batch = next(iter(loader))
+    inputs = {k: jnp.asarray(batch[k]) for k in
+              ("image", "text_ids", "text_padding_mask", "img_shape")}
+
+    params = dict(model.init(jax.random.PRNGKey(0), **inputs))
+    # int8_static models carry a "quant" collection checkpoints never
+    # have (ops/quant.attach_static_quant rebuilds it after restore)
+    quant_skel = params.pop("quant", None)
+    if args.checkpoint:
+        params = load_checkpoint(args.checkpoint,
+                                 params_template=params)["params"]
+    if quant_skel is not None:
+        from simvg_tpu.ops.quant import attach_static_quant
+
+        params = attach_static_quant(params, quant_skel)
+
+    cam = compute_cam(model, params, inputs, args.branch, img_size,
+                      family=cfg.model.get("type"))
 
     os.makedirs(args.output_dir, exist_ok=True)
     written = 0
-    for i in range(min(args.num, b)):
+    for i in range(min(args.num, cam.shape[0])):
         m = cam[i] / max(cam[i].max(), 1e-8)
         m = cv2.resize((m * 255).astype(np.uint8), (img_size, img_size))
         heat = cv2.applyColorMap(m, cv2.COLORMAP_JET)
