@@ -50,13 +50,16 @@ def evaluate(
     log_fn: Optional[Callable[[str], None]] = None,
     log_interval: int = 50,
     put_fn: Optional[Callable[[Dict], Dict]] = None,
+    max_batches: Optional[int] = None,
 ) -> Dict[str, float]:
     """Returns per-branch metrics + the reference's summary scalar pair
     (mean det_acc over branches; for GRec (F1, N-acc)).
 
     put_fn: optional transform placing the device batch (e.g. sharded
     over the mesh's data axis, or assembled into global arrays on
-    multi-host) before the jitted step."""
+    multi-host) before the jitted step.
+    max_batches: stop after N batches (bounded sweeps, e.g. the
+    token-prune envelope tool); metrics then cover a subset."""
     step = eval_step or jax.jit(make_eval_step(model))
 
     _MASK_THRS = (0.5, 0.6, 0.7, 0.8, 0.9)
@@ -74,7 +77,11 @@ def evaluate(
     _DEVICE_KEYS = ("image", "text_ids", "text_padding_mask",
                     "img_shape")
     batches = len(loader)
+    if max_batches is not None:
+        batches = min(batches, max_batches)
     for bi, batch in enumerate(loader):
+        if bi >= batches:
+            break
         device_batch = {
             k: batch[k] for k in _DEVICE_KEYS if k in batch
         }

@@ -60,8 +60,27 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     cache_dir to override both.  The chosen base dir gets a per-machine
     subdirectory (see _machine_key) so caches written by other hosts
     are never loaded here.  Never raises (older jax versions spell the
-    knobs differently)."""
+    knobs differently).
+
+    CPU-forced processes skip the cache entirely: XLA:CPU persists
+    AOT-compiled executables whose recorded target features include
+    compiler tuning pseudo-features (+prefer-no-scatter/-gather) the
+    host feature probe never reports, so EVERY cache hit logs a
+    ~1.5 KB cpu_aot_loader feature-mismatch warning — even on the
+    machine that wrote the entry — and XLA warns the mismatch "could
+    lead to execution errors such as SIGILL".  CPU compiles cost
+    seconds; the cache exists for the tunnelled TPU compiler's
+    minutes-per-program, and that path keeps it."""
     import jax
+
+    plat = (os.environ.get("JAX_PLATFORMS") or "").strip().lower()
+    try:
+        plat = (jax.config.jax_platforms or plat or "").strip().lower()
+    except AttributeError:
+        pass
+    # first entry of the platform list is the default backend
+    if plat.split(",")[0] == "cpu":
+        return
 
     base = (cache_dir
             or os.environ.get("JAX_COMPILATION_CACHE_DIR")

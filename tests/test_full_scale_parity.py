@@ -65,8 +65,21 @@ def _reference_interpolate_sd(sd, d, new_grid, new_ps):
 
 
 @pytest.mark.slow
-def test_full_scale_encoder_parity_base32_640():
-    d, heads, ffn, layers, vocab = 768, 12, 3072, 12, 64010
+@pytest.mark.parametrize(
+    "d,heads,ffn,layers,b,tol",
+    [
+        pytest.param(768, 12, 3072, 12, 2, 5e-4, id="base32_640"),
+        # ViT-L/32 (VERDICT r4 #3): the model-zoo accuracy numbers are
+        # all L/32 (/root/reference/README.md:195-233, _get_large_config
+        # modeling_utils.py:40-70) — the 24-layer/1024-dim conversion
+        # with the same 14^2->20^2 + 16->32 interpolations must be
+        # cross-checked at scale before the released-weight parity gate
+        # runs it.  b=1 keeps the 0.67B-param dual-framework forward
+        # inside the 1-core box's patience.
+        pytest.param(1024, 16, 4096, 24, 1, 1e-3, id="large32_640"),
+    ])
+def test_full_scale_encoder_parity(d, heads, ffn, layers, b, tol):
+    vocab = 64010
     torch.manual_seed(0)
     # checkpoint-geometry torch model: 224/16 -> 14x14 grid, 199-row
     # position table (the released beit3_base_patch16_224 layout)
@@ -94,13 +107,14 @@ def test_full_scale_encoder_parity_base32_640():
                       vocab_size=vocab, max_source_positions=64,
                       drop_path_rate=0.0)
     enc = BEiT3Encoder(cfg)
-    b, t = 2, 20
+    t = 20
     rng = np.random.default_rng(0)
     img = rng.normal(size=(b, 640, 640, 3)).astype(np.float32)
     ids = rng.integers(0, vocab, (b, t)).astype(np.int32)
     pad = np.zeros((b, t), np.int32)
     pad[0, 12:] = 1
-    pad[1, 7:] = 1
+    if b > 1:
+        pad[1, 7:] = 1
 
     params = enc.init(jax.random.PRNGKey(0), jnp.asarray(img),
                       jnp.asarray(ids), jnp.asarray(pad))
@@ -124,12 +138,12 @@ def test_full_scale_encoder_parity_base32_640():
     ji, jt, jc = enc.apply(params, jnp.asarray(img), jnp.asarray(ids),
                            jnp.asarray(pad))
 
-    # fp32 through 12 layers at dim 768: allow accumulation-order noise
+    # fp32 through 12/24 layers: allow accumulation-order noise
     for ours, ref, name in ((ji, ti, "img"), (jt, tt, "text"),
                             (jc, tc, "cls")):
         ref = ref.numpy()
         np.testing.assert_allclose(
-            np.asarray(ours), ref, atol=5e-4, rtol=1e-3,
+            np.asarray(ours), ref, atol=tol, rtol=1e-3,
             err_msg=f"{name} features diverge at full scale")
     # and they must be far from the random-init params (sanity that the
     # conversion actually landed)

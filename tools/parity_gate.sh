@@ -48,6 +48,13 @@ python tools/test.py "$CONFIG" "$out" \
     --cfg-options "data.val.annsfile=$ANNS" "data.val.imgsfile=$IMGS" \
     | tee work_dir/parity/eval.log
 
+if [ "${PRUNE_SWEEP:-0}" = "1" ]; then
+    echo "== optional: token-prune accuracy-envelope sweep on real weights"
+    python tools/misc/prune_envelope.py "$CONFIG" "$out" \
+        --cfg-options "data.val.annsfile=$ANNS" "data.val.imgsfile=$IMGS" \
+        --out work_dir/parity/prune_envelope.json
+fi
+
 acc=$(grep -oE "det_acc[^0-9]*[0-9]+\.[0-9]+" work_dir/parity/eval.log \
       | tail -1 | grep -oE "[0-9]+\.[0-9]+")
 echo "val Prec@0.5 = $acc (published $EXPECT, gate |diff| <= 0.3)"
