@@ -88,3 +88,50 @@ def make_grefcoco_style(root, n=6, img_hw=(96, 128)):
     path = os.path.join(root, "instances.json")
     json.dump(anns, open(path, "w"))
     return imgdir, path
+
+
+def make_mixed_style(root, n_per_source=4, n_val=4, img_hw=(100, 140)):
+    """Mixed pretraining-style dataset (reference
+    configs/_base_/datasets/detection/mixed.py:29-50): per-source image
+    roots (coco filename scheme vs flickr bare ids), a
+    ``visual-genome`` record with NO image on disk (img_source
+    filtering must drop it before any read), and a
+    ``val_refcoco_unc`` sub-validation split."""
+    coco_dir = os.path.join(root, "coco")
+    flickr_dir = os.path.join(root, "flickr")
+    os.makedirs(coco_dir, exist_ok=True)
+    os.makedirs(flickr_dir, exist_ok=True)
+    rng = np.random.default_rng(3)
+    h, w = img_hw
+
+    def record(image_id, source):
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        x, y = int(rng.integers(5, w // 2)), int(rng.integers(5, h // 2))
+        bw, bh = int(rng.integers(10, w // 2)), int(rng.integers(10, h // 2))
+        cv2.rectangle(img, (x, y), (x + bw, y + bh), (0, 255, 0), -1)
+        if source == "coco":
+            cv2.imwrite(os.path.join(
+                coco_dir, "COCO_train2014_%012d.jpg" % image_id), img)
+        elif source == "flickr":
+            cv2.imwrite(os.path.join(flickr_dir, f"{image_id}.jpg"), img)
+        # visual-genome: intentionally NO image written
+        return {"image_id": int(image_id), "height": h, "width": w,
+                "bbox": [x, y, bw, bh],
+                "expressions": ["the green box"],
+                "data_source": source}
+
+    anns = {"train": [], "val_refcoco_unc": []}
+    nid = 0
+    for source in ("coco", "flickr"):
+        for _ in range(n_per_source):
+            anns["train"].append(record(nid, source))
+            nid += 1
+    # a source the configs filter out — and whose image doesn't exist
+    anns["train"].append(record(nid, "visual-genome"))
+    nid += 1
+    for _ in range(n_val):
+        anns["val_refcoco_unc"].append(record(1000 + nid, "coco"))
+        nid += 1
+    path = os.path.join(root, "instances.json")
+    json.dump(anns, open(path, "w"))
+    return root, path

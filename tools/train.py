@@ -151,6 +151,10 @@ def main():
         seed=seed, shard_id=jax.process_index(),
         num_shards=pc, batch_scale=dp // pc,
     )
+    # dataset-size line (reference: mmcv runner logs len(dataset));
+    # for Mixed this is the count AFTER img_source filtering
+    logger.info(f"train: {len(train_ds)} samples, "
+                f"{len(train_loader)} steps/epoch")
     val_loaders = {}
     eval_splits = [k for k in cfg.data
                    if k not in ("train", "samples_per_gpu",
@@ -169,6 +173,7 @@ def main():
             seed=seed, shard_id=jax.process_index(), num_shards=pc,
             batch_scale=dp // pc,
         )
+        logger.info(f"{split}: {len(ds)} samples")
 
     # ---- model
     dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else jnp.float32
