@@ -212,6 +212,7 @@ def create_optimizer(
     amsgrad: bool = True,
     weight_decay: float = 0.0,
     momentum: float = 0.9,
+    mu_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     lr_vis_enc = lr / 10.0 if lr_vis_enc is None else lr_vis_enc
     lr_lan_enc = lr if lr_lan_enc is None else lr_lan_enc
@@ -224,19 +225,27 @@ def create_optimizer(
             decay_ratio=decay_ratio, scheduler_kw=scheduler_kw,
         )
 
+    # mu_dtype: store the Adam-family FIRST moment in a narrower dtype
+    # (HBM-bandwidth lever: the optimizer stream is at the HBM floor,
+    # ROADMAP "Training floor").  Params and nu/nu_max stay f32 — nu
+    # spans a much wider dynamic range (squared grads) and drives the
+    # effective step size, so it is not narrowed.
+    mu_dt = jnp.dtype(mu_dtype) if mu_dtype else None
+
     def mk(base):
         sched = mk_schedule(base)
         # optimizer registry parity (simvg/core/optimizer.py:1-87)
         if optimizer_type == "Adam" and amsgrad:
             return optax.amsgrad(learning_rate=sched, b1=betas[0],
-                                 b2=betas[1], eps=eps)
+                                 b2=betas[1], eps=eps, mu_dtype=mu_dt)
         if optimizer_type == "Adam":
             return optax.adam(learning_rate=sched, b1=betas[0],
-                              b2=betas[1], eps=eps)
+                              b2=betas[1], eps=eps, mu_dtype=mu_dt)
         if optimizer_type == "AdamW":
             return optax.adamw(learning_rate=sched, b1=betas[0],
                                b2=betas[1], eps=eps,
-                               weight_decay=weight_decay)
+                               weight_decay=weight_decay,
+                               mu_dtype=mu_dt)
         if optimizer_type == "SGD":
             return optax.sgd(learning_rate=sched, momentum=momentum)
         if optimizer_type == "RMSProp":

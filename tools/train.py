@@ -233,6 +233,7 @@ def main():
         scheduler_kw=dict(sch_cfg),
         amsgrad=opt_cfg.get("amsgrad", True),
         weight_decay=opt_cfg.get("weight_decay", 0.0),
+        mu_dtype=opt_cfg.get("mu_dtype"),
     )
     use_ema = cfg.get("ema", False)
     state = create_train_state(params, tx, ema=use_ema)
