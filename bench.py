@@ -207,10 +207,11 @@ def bench_inference(model, batch, iters=ITERS, branches="both",
     return b * iters / dt
 
 
-def bench_train_step(model, batch, iters=8):
+def bench_train_step(model, batch, iters=8, mu_dtype=None):
     """Full training step: loss (both branches + balanced distill),
     backward, global-norm clip, AdamW update, EMA — the hot loop of
-    tools/train.py."""
+    tools/train.py.  mu_dtype: optional optimizer-state dtype lever
+    (optimizer_config.mu_dtype)."""
     import jax
     import jax.numpy as jnp
 
@@ -221,7 +222,7 @@ def bench_train_step(model, batch, iters=8):
     )
 
     params = _random_params(model, batch)
-    tx = create_optimizer(1e-4, steps_per_epoch=100)
+    tx = create_optimizer(1e-4, steps_per_epoch=100, mu_dtype=mu_dtype)
     state = create_train_state(params, tx, ema=True)
     step_fn = make_train_step(
         model,
@@ -529,6 +530,14 @@ def main():
         extra["train_step_images_per_sec_per_chip"] = round(
             _retry(lambda: bench_train_step(SimVGModel(train_cfg), tb),
                    label="train") / n_chips, 2)
+        # optimizer-state dtype lever (VERDICT r4 #7): bf16 first
+        # moment cuts the f32 optimizer HBM stream the r4 ablation
+        # identified (~18 ms at the HBM floor).  Measured side by side
+        # with the f32-state recipe above.
+        extra["train_step_mu_bf16_images_per_sec_per_chip"] = round(
+            _retry(lambda: bench_train_step(SimVGModel(train_cfg), tb,
+                                            mu_dtype="bfloat16"),
+                   label="train_mu_bf16") / n_chips, 2)
     except Exception as e:  # noqa: BLE001
         extra["train_step_error"] = f"{type(e).__name__}: {e}"[:200]
         try:
