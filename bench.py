@@ -145,16 +145,22 @@ def _device_batch(b, t, img, rng=0, with_gt=False):
     return out
 
 
-def _timed_loop(step_to_scalar, warmup=WARMUP):
-    """Wall-time of one post-warmup call.  The iteration count lives
-    INSIDE the fused executable (fori_loop), so a single dispatch times
-    all iterations at once — host round trips over the tunnelled
-    runtime are ~10s of ms and must not be in the measured window."""
+def _timed_loop(step_to_scalar, warmup=WARMUP, reps=3):
+    """Median wall-time of ``reps`` post-warmup calls.  The iteration
+    count lives INSIDE the fused executable (fori_loop), so a single
+    dispatch times all iterations at once — host round trips over the
+    tunnelled runtime are ~10s of ms and must not be in the measured
+    window.  Median-of-3, not single-shot: the tunnel drifts on the
+    scale of one measurement (the r4 'AOT -13.8%' artifact — the same
+    compiled bytes re-timed interleaved landed within 0.5%)."""
     for _ in range(warmup):
         float(step_to_scalar())
-    t0 = time.perf_counter()
-    float(step_to_scalar())
-    return time.perf_counter() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(step_to_scalar())
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
 
 
 def bench_inference(model, batch, iters=ITERS, branches="both",
