@@ -66,3 +66,55 @@ def test_auto_resume(tmp_path):
              if m.get("kind") == "train" and m["epoch"] == 1]
     iters = [m["iter"] for m in lines]
     assert len(iters) == len(set(iters)), "epoch 1 re-trained"
+
+
+def test_latest_interval_throttle(tmp_path):
+    """latest_interval=N throttles the full-opt-state crash-recovery
+    checkpoint (1-core hosts: its serialization dominates short epochs)
+    while the FINAL epoch always saves — the two-stage --load-from
+    contract depends on <work_dir>/latest existing at max_epoch."""
+    import shutil
+
+    root = tmp_path / "synth"
+    make_refcoco_style(str(root), n_train=32, n_val=4)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    def train(work, max_epoch, interval):
+        cmd = [
+            sys.executable, "tools/train.py",
+            "configs/smoke/tiny_synth.py",
+            "--platform", "cpu", "--work-dir", str(work),
+            "--cfg-options",
+            f"scheduler_config.max_epoch={max_epoch}",
+            f"latest_interval={interval}",
+            "evaluate_interval=10", "ema=False",
+            "data.samples_per_gpu=2",
+            f"data.train.annsfile={root}/instances.json",
+            f"data.train.imgsfile={root}/images",
+            f"data.val.annsfile={root}/instances.json",
+            f"data.val.imgsfile={root}/images",
+        ]
+        proc = subprocess.run(cmd, cwd=REPO, env=env,
+                              capture_output=True, text=True,
+                              timeout=900)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+
+    # max_epoch=3 with interval=2: epoch 2 saves, epoch 3 (final)
+    # saves unconditionally -> latest records epoch 3
+    work = tmp_path / "work"
+    train(work, max_epoch=3, interval=2)
+    assert (work / "latest").exists()
+    import json as _json
+
+    meta = _json.loads((work / "latest" / "meta.json").read_text())
+    assert meta["epoch"] == 3, meta
+
+    # max_epoch=1 with a huge interval: the final-epoch save still
+    # fires (otherwise a 1-epoch stage-1 run would leave nothing for
+    # stage 2 to load)
+    work2 = tmp_path / "work2"
+    train(work2, max_epoch=1, interval=100)
+    assert (work2 / "latest").exists()
+    shutil.rmtree(work2)

@@ -148,3 +148,47 @@ def test_vis_cam_onestage_family(synth, tmp_path):
     files = os.listdir(out)
     assert len(files) >= 1, files
     assert all(os.path.getsize(out / f) > 0 for f in files)
+
+
+def test_summarize_run(tmp_path):
+    """summarize_run.py digests a metrics.jsonl stream: per-split
+    dedup keeps the LAST emission of a re-run epoch (resume semantics),
+    best-vs-final rows, torn trailing line ignored."""
+    wd = tmp_path / "runA"
+    wd.mkdir()
+    rows = [
+        {"kind": "train", "epoch": 1, "iter": 4, "loss_total": 9.0},
+        {"kind": "eval", "split": "val", "epoch": 10,
+         "decoder_det_acc": 50.0, "decoder_miou": 49.3,
+         "token_det_acc": 0.0, "token_miou": 10.9},
+        # resume re-emits epoch 10 with different numbers: last wins
+        {"kind": "eval", "split": "val", "epoch": 10,
+         "decoder_det_acc": 55.0, "decoder_miou": 51.0,
+         "token_det_acc": 1.0, "token_miou": 11.0},
+        {"kind": "eval", "split": "val", "epoch": 20,
+         "decoder_det_acc": 90.0, "decoder_miou": 80.0,
+         "token_det_acc": 40.0, "token_miou": 35.0},
+        {"kind": "eval", "split": "val", "epoch": 30,
+         "decoder_det_acc": 95.0, "decoder_miou": 85.0,
+         "token_det_acc": 30.0, "token_miou": 30.0},
+    ]
+    with open(wd / "metrics.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write('{"kind": "eval", "epo')  # torn write mid-crash
+
+    proc = _run([sys.executable, "tools/misc/summarize_run.py",
+                 str(wd), "--key", "token_det_acc"])
+    out = proc.stdout
+    assert "(3 evals)" in out, out            # epochs 10, 20, 30
+    assert "final epoch   30" in out, out
+    # best-by-token is epoch 20, and epoch 10 shows the LAST emission
+    assert "best(token_det_acc) epoch   20" in out, out
+    assert "token_det_acc=40.00" in out, out
+
+    # empty dir: reported, not crashed
+    wd2 = tmp_path / "runB"
+    wd2.mkdir()
+    proc = _run([sys.executable, "tools/misc/summarize_run.py",
+                 str(wd2)])
+    assert "no eval rows" in proc.stdout

@@ -508,15 +508,22 @@ def main():
                             ema_step=(int(state.ema_step) if state.ema_step is not None else None),
                         )
 
-        save_checkpoint(
-            work_dir, "latest",
-            params=state.params,
-            opt_state=state.opt_state,
-            ema_params=state.ema_params,
-            epoch=epoch + 1,
-            metrics={"best_det_acc": best_acc},
-            ema_step=(int(state.ema_step) if state.ema_step is not None else None),
-        )
+        # "latest" (crash recovery) carries the full opt_state — on a
+        # slow-disk/1-core host that serialization dominates short
+        # epochs, so experiment configs may throttle it; the final
+        # epoch always saves (two-stage load_from contract)
+        latest_interval = cfg.get("latest_interval", 1)
+        if ((epoch + 1) % max(latest_interval, 1) == 0
+                or epoch + 1 == max_epoch):
+            save_checkpoint(
+                work_dir, "latest",
+                params=state.params,
+                opt_state=state.opt_state,
+                ema_params=state.ema_params,
+                epoch=epoch + 1,
+                metrics={"best_det_acc": best_acc},
+                ema_step=(int(state.ema_step) if state.ema_step is not None else None),
+            )
         save_interval = cfg.get("save_interval", -1)
         if save_interval and save_interval > 0 and (
                 epoch + 1) % save_interval == 0:
