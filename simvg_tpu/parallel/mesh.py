@@ -13,6 +13,11 @@ in SURVEY.md §2.8).  The TPU-native equivalent is a single
   (column-parallel fc1/qkv, row-parallel fc2/out-proj).  Not needed for
   parity (BEiT-3-large fits one v5e chip) but the mesh carries the axis
   so the same code scales; with model=1 the rules degrade to pure DP.
+- **fsdp** (config ``fsdp=True``): ZeRO-style sharding of params /
+  grads / optimizer state / EMA over the *data* axis on top of either
+  layout — each chip stores 1/dp of every large state tensor and XLA
+  inserts all-gather (use) / reduce-scatter (grad) on ICI.  Composes
+  with TP: a kernel can be [*, "data", "model"]-sharded.
 
 Collectives ride ICI automatically: XLA partitions the matmuls and
 inserts all-reduce/all-gather where the PartitionSpecs require.
@@ -71,19 +76,53 @@ _COL_PARALLEL = re.compile(
 )
 _ROW_PARALLEL = re.compile(r"(fc2_[AB]|out_proj_[AB])/kernel$")
 
+# FSDP/ZeRO: leaves smaller than this stay replicated (biases, LN
+# scales — gathering them costs more latency than their bytes save).
+FSDP_MIN_SIZE = 1 << 16
 
-def param_sharding(path: str, value, mesh: Mesh) -> NamedSharding:
+
+def param_partition_spec(
+    path: str, value, mesh: Mesh, fsdp: bool = False,
+    fsdp_min_size: int = FSDP_MIN_SIZE,
+) -> P:
     """PartitionSpec for one parameter by its flattened path.
 
     Handles both the unrolled layout (2-D kernels) and the scan layout
-    (3-D kernels with a leading [num_layers] axis)."""
+    (3-D kernels with a leading [num_layers] axis).
+
+    With ``fsdp=True`` large leaves are additionally sharded along the
+    ``data`` axis (ZeRO-3: params, grads, optimizer state, and EMA all
+    inherit the spec through pjit, so each chip holds 1/dp of every
+    state tensor; XLA inserts the all-gather before use and the
+    reduce-scatter on the gradient — the standard JAX FSDP recipe).
+    Only the trailing two (matrix) dims are candidates: sharding the
+    scan layout's leading [num_layers] axis would turn every per-layer
+    ``dynamic_slice`` inside the scan into a collective."""
+    spec = [None] * value.ndim
     if mesh.shape["model"] > 1 and value.ndim in (2, 3):
-        lead = (None,) * (value.ndim - 2)
         if _COL_PARALLEL.search(path):
-            return NamedSharding(mesh, P(*lead, None, "model"))
-        if _ROW_PARALLEL.search(path):
-            return NamedSharding(mesh, P(*lead, "model", None))
-    return NamedSharding(mesh, P())
+            spec[-1] = "model"
+        elif _ROW_PARALLEL.search(path):
+            spec[-2] = "model"
+    if (fsdp and mesh.shape["data"] > 1 and value.ndim >= 2
+            and value.size >= fsdp_min_size):
+        # largest still-unsharded matrix dim divisible by dp; embeddings
+        # with odd vocab (64010) fall through to their feature dim
+        for d in sorted(range(value.ndim - 2, value.ndim),
+                        key=lambda i: -value.shape[i]):
+            if spec[d] is None and value.shape[d] % mesh.shape["data"] == 0:
+                spec[d] = "data"
+                break
+    return P(*spec)
+
+
+def param_sharding(
+    path: str, value, mesh: Mesh, fsdp: bool = False,
+    fsdp_min_size: int = FSDP_MIN_SIZE,
+) -> NamedSharding:
+    return NamedSharding(
+        mesh, param_partition_spec(path, value, mesh, fsdp, fsdp_min_size)
+    )
 
 
 def _path_str(key_path) -> str:
@@ -98,18 +137,22 @@ def _path_str(key_path) -> str:
     return "/".join(parts)
 
 
-def shard_params(params, mesh: Mesh):
-    """device_put every parameter according to the TP layout rules."""
+def shard_params(params, mesh: Mesh, fsdp: bool = False,
+                 fsdp_min_size: int = FSDP_MIN_SIZE):
+    """device_put every parameter according to the TP/FSDP layout rules."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     placed = [
-        jax.device_put(v, param_sharding(_path_str(kp), v, mesh))
+        jax.device_put(
+            v, param_sharding(_path_str(kp), v, mesh, fsdp, fsdp_min_size))
         for kp, v in flat
     ]
     return jax.tree_util.tree_unflatten(treedef, placed)
 
 
-def params_shardings(params, mesh: Mesh):
+def params_shardings(params, mesh: Mesh, fsdp: bool = False,
+                     fsdp_min_size: int = FSDP_MIN_SIZE):
     """The NamedSharding pytree matching ``shard_params`` placement."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    shards = [param_sharding(_path_str(kp), v, mesh) for kp, v in flat]
+    shards = [param_sharding(_path_str(kp), v, mesh, fsdp, fsdp_min_size)
+              for kp, v in flat]
     return jax.tree_util.tree_unflatten(treedef, shards)

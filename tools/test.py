@@ -76,6 +76,7 @@ def main():
 
     mesh = create_mesh(model_parallel=cfg.get("model_parallel", 1))
     dp = mesh.shape["data"]
+    fsdp = bool(cfg.get("fsdp", False))  # eval-side param sharding
     pc = jax.process_count()
     if dp % pc:
         raise ValueError(f"data-parallel size {dp} not divisible by "
@@ -132,7 +133,7 @@ def main():
                          with_ema=args.with_ema)
     params = shard_params(
         attach_static_quant(ck["params"], quant_skel,
-                            args.quant_collection), mesh)
+                            args.quant_collection), mesh, fsdp=fsdp)
 
     def eval_put(device_batch):
         if pc > 1:
@@ -169,7 +170,7 @@ def main():
             m = evaluate(model,
                          shard_params(attach_static_quant(
                              ck["ema_params"], quant_skel,
-                             args.quant_collection), mesh),
+                             args.quant_collection), mesh, fsdp=fsdp),
                          loader, is_grec=is_grec, eval_step=eval_step,
                          put_fn=eval_put)
             logger.info(f"[{s}][EMA] " + ", ".join(

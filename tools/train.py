@@ -121,6 +121,13 @@ def main():
 
     mesh = create_mesh(model_parallel=cfg.get("model_parallel", 1))
     dp = mesh.shape["data"]
+    # ZeRO/FSDP: shard params + grads + opt state + EMA over the data
+    # axis (parallel/mesh.py param_partition_spec) — the memory lever
+    # for pod-scale ViT-L training; a no-op at dp=1
+    from simvg_tpu.parallel import FSDP_MIN_SIZE
+
+    fsdp = bool(cfg.get("fsdp", False))
+    fsdp_min = int(cfg.get("fsdp_min_size", FSDP_MIN_SIZE))
     pc = jax.process_count()
     if dp % pc:
         raise ValueError(f"data-parallel size {dp} not divisible by "
@@ -128,7 +135,8 @@ def main():
     batch_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
     logger.info(f"mesh: {dict(mesh.shape)} "
-                f"({dp}-way data parallel, {pc} process(es))")
+                f"({dp}-way data parallel, {pc} process(es)"
+                f"{', fsdp' if fsdp else ''})")
 
     # ---- data
     img_size = cfg.get("img_size", 640)
@@ -191,7 +199,10 @@ def main():
                   ("image", "text_ids", "text_padding_mask", "img_shape")}
     rng = jax.random.PRNGKey(seed)
     params = model.init(rng, **init_batch)
-    params = shard_params(params, mesh)  # replicated when model=1
+    params = shard_params(params, mesh, fsdp=fsdp,
+                          fsdp_min_size=fsdp_min)  # replicated when
+    # model=1 and fsdp off; opt state + EMA inherit this placement
+    # through tx.init / jnp.copy (computation follows data)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     logger.info(f"model params: {n_params / 1e6:.2f}M")
 
@@ -238,6 +249,19 @@ def main():
     use_ema = cfg.get("ema", False)
     state = create_train_state(params, tx, ema=use_ema)
     del params
+    # snapshot the fresh opt-state placement (inherited from the sharded
+    # params via tx.init) BEFORE a resume overwrites it: the restore
+    # re-place below must reproduce it exactly — with fsdp these leaves
+    # are data-sharded (ZeRO), not replicated.  Leaves whose fresh
+    # sharding is NOT on the mesh (eager-created scalars like the optax
+    # count get SingleDeviceSharding on device 0) go replicated — a
+    # device-0-committed scalar would clash with the mesh-placed params
+    # inside jit.
+    def _mesh_placement(x):
+        s = getattr(x, "sharding", None)
+        return s if getattr(s, "mesh", None) is mesh else replicated
+
+    opt_placements = jax.tree.map(_mesh_placement, state.opt_state)
 
     # CLI flags take precedence; config keys (reference _base_/misc.py)
     # are the fallback so two-stage configs' load_from works untouched
@@ -301,14 +325,21 @@ def main():
 
     if args.resume_from or args.load_from or args.finetune_from:
         # restored arrays live on the default device; re-place onto the
-        # mesh (params by TP rules, everything else replicated)
+        # mesh (params by the TP/FSDP rules, opt state back onto its
+        # fresh tx.init placement, which matches the params')
         state = state.replace(
-            params=shard_params(state.params, mesh),
-            ema_params=(shard_params(state.ema_params, mesh)
+            params=shard_params(state.params, mesh, fsdp=fsdp,
+                                fsdp_min_size=fsdp_min),
+            ema_params=(shard_params(state.ema_params, mesh, fsdp=fsdp,
+                                     fsdp_min_size=fsdp_min)
                         if state.ema_params is not None else None),
             opt_state=jax.tree.map(
-                lambda x: jax.device_put(x, replicated)
-                if hasattr(x, "shape") else x, state.opt_state),
+                lambda x, s: jax.device_put(x, s)
+                if hasattr(x, "shape") else x,
+                state.opt_state, opt_placements),
+            step=jax.device_put(state.step, replicated),
+            ema_step=(jax.device_put(state.ema_step, replicated)
+                      if state.ema_step is not None else None),
         )
 
     from simvg_tpu.engine.train import make_eval_step
