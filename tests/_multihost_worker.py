@@ -90,8 +90,20 @@ params = model.init(
        ("image", "text_ids", "text_padding_mask", "img_shape")})
 params = jax.device_put(params, NamedSharding(mesh, P()))
 
+# FSDP leg prepared BEFORE the DP step (donation invalidates params):
+# ZeRO state sharded over the CROSS-PROCESS data axis — each process
+# holds only its slice of every kernel
+from simvg_tpu.parallel import shard_params  # noqa: E402
+
+p_fsdp = shard_params(params, mesh, fsdp=True, fsdp_min_size=0)
+fc1 = p_fsdp["params"]["beit3"]["layers_0"]["ffn"]["fc1_A"]["kernel"]
+assert "data" in str(fc1.sharding.spec), fc1.sharding
+local_elems = sum(s.data.size for s in fc1.addressable_shards)
+assert local_elems == fc1.size // nproc, (local_elems, fc1.size)
+
 tx = create_optimizer(1e-3, steps_per_epoch=100)
 state = create_train_state(params, tx)
+state_f = create_train_state(p_fsdp, tx)
 step = jax.jit(make_train_step(
     model, tx,
     branch_loss_weight={"decoder": 1.0,
@@ -101,6 +113,12 @@ step = jax.jit(make_train_step(
 
 state, scalars = step(state, to_global(local), jax.random.PRNGKey(1))
 print(f"RESULT loss_total {float(scalars['loss_total']):.6f}", flush=True)
+
+# identical init + batch through the ZeRO layout must give the DP loss
+state_f, scalars_f = step(state_f, to_global(local), jax.random.PRNGKey(1))
+print(f"RESULT loss_total_fsdp {float(scalars_f['loss_total']):.6f}",
+      flush=True)
+del state_f
 
 
 class LocalLoader:

@@ -52,6 +52,10 @@ def test_two_process_distributed_train_and_eval():
     vals = dict((k, float(v)) for k, v in results[0])
     assert "loss_total" in vals and vals["loss_total"] > 0
     assert "det_acc" in vals  # evaluate() aggregated across processes
+    # the cross-process ZeRO (fsdp) layout computes the same loss as
+    # replicated DP on the identical init + global batch
+    assert abs(vals["loss_total_fsdp"] - vals["loss_total"]) \
+        <= 1e-3 * vals["loss_total"], vals
 
 
 WORKER4 = osp.join(REPO, "tests", "_multihost4_worker.py")
