@@ -107,6 +107,16 @@ class BEiT3Config:
     # tokens — ROADMAP "Token pruning").  Outside-envelope configs
     # raise unless this is set; perf-lever measurements (bench.py) and
     # deliberately-validated deployments set it explicitly.
+    seq_parallel: bool = False  # Megatron-style sequence parallelism
+    # on top of tensor parallelism: the residual stream between the
+    # TP-sharded matmul blocks is sharded over the "model" mesh axis
+    # along the SEQUENCE dim (with_sharding_constraint P(data, model,
+    # None)), so LayerNorm / residual adds / drop-path compute on
+    # S/mp tokens per chip instead of redundantly on all S, and GSPMD
+    # turns the TP block-boundary all-reduce into reduce-scatter +
+    # all-gather (same bytes, less elementwise HBM traffic).  Requires
+    # tracing under a mesh context (``with mesh:``) whose axes are
+    # ("data", "model"); a no-op when model_parallel == 1.
 
     @property
     def num_patches(self) -> int:
@@ -128,6 +138,30 @@ class BEiT3Config:
         """modeling_utils.py:47-70 hyperparameters."""
         return cls(embed_dim=1024, num_heads=16, ffn_dim=4096, num_layers=24,
                    **kw)
+
+
+def _seq_shard(cfg: BEiT3Config, xs):
+    """Sequence-parallel constraint on the (vision, text) residual
+    pair: [B, S, D] sharded P(data, model, None) so the elementwise
+    zones between TP matmul blocks run on S/mp tokens per chip.  GSPMD
+    handles uneven S (421 % mp != 0) by internal padding.  Requires an
+    ambient mesh with ("data", "model") axes at trace time."""
+    if not cfg.seq_parallel:
+        return xs
+    if not any(isinstance(h, jax.core.Tracer) for h in xs):
+        # eager execution (model.init): the eager constraint path
+        # REQUIRES divisibility (S % mp == 0), while the jit/GSPMD
+        # path pads internally — and S = num_patches + 1 is odd for
+        # square grids.  Placement only matters inside the compiled
+        # step, so skip it eagerly.
+        return xs
+    from jax.sharding import PartitionSpec as P
+
+    spec = P("data", "model", None)
+    return tuple(
+        jax.lax.with_sharding_constraint(h, spec)
+        if h.shape[1] % 2 == 0 else h
+        for h in xs)
 
 
 def _dense(cfg: BEiT3Config, features: int, name: str) -> nn.Module:
@@ -317,12 +351,12 @@ class EncoderLayer(nn.Module):
         if self.return_cls_attn:
             hs, cls_attn = hs
         hs = drop_path(hs, deterministic)
-        xs = (xs[0] + hs[0], xs[1] + hs[1])
+        xs = _seq_shard(cfg, (xs[0] + hs[0], xs[1] + hs[1]))
 
         hs = (ln2_a(xs[0]).astype(cfg.dtype), ln2_b(xs[1]).astype(cfg.dtype))
         hs = MultiwayFFN(cfg, name="ffn")(hs)
         hs = drop_path(hs, deterministic)
-        out = (xs[0] + hs[0], xs[1] + hs[1])
+        out = _seq_shard(cfg, (xs[0] + hs[0], xs[1] + hs[1]))
         if self.return_cls_attn:
             return out, cls_attn
         return out
@@ -359,14 +393,14 @@ class _ScanLayerBody(nn.Module):
             hs, key_padding_mask, det, attn_bias
         )
         hs = drop_path(hs)
-        xs = (xs[0] + hs[0], xs[1] + hs[1])
+        xs = _seq_shard(cfg, (xs[0] + hs[0], xs[1] + hs[1]))
 
         hs = (ln2_a(xs[0]).astype(cfg.dtype), ln2_b(xs[1]).astype(cfg.dtype))
         hs = MultiwayFFN(cfg, name="ffn")(hs)
         hs = drop_path(hs)
         # scan requires a dtype-stable carry
-        return ((xs[0] + hs[0]).astype(cfg.dtype),
-                (xs[1] + hs[1]).astype(cfg.dtype)), None
+        return _seq_shard(cfg, ((xs[0] + hs[0]).astype(cfg.dtype),
+                                (xs[1] + hs[1]).astype(cfg.dtype))), None
 
 
 class VisionEmbedding(nn.Module):

@@ -99,6 +99,9 @@ def build_model(model_cfg: Dict[str, Any], *, img_size: int = 640,
         token_prune_keep=ve.get("token_prune_keep", None),
         token_prune_layer=ve.get("token_prune_layer", 4),
         token_prune_force=ve.get("token_prune_force", False),
+        # Megatron-style sequence parallelism between the TP matmul
+        # blocks (needs model_parallel > 1 and a mesh context)
+        seq_parallel=ve.get("seq_parallel", False),
     )
     extra = {
         k: ve[k]

@@ -83,6 +83,12 @@ def main():
                          f"process count {pc}")
     batch_sharding = NamedSharding(mesh, P("data"))
     logger.info(f"mesh: {dict(mesh.shape)} ({pc} process(es))")
+    if cfg.model.get("vis_enc", {}).get("seq_parallel"):
+        # seq_parallel constraints need the ambient mesh at trace time
+        import contextlib
+
+        _mesh_ctx = contextlib.ExitStack()
+        _mesh_ctx.enter_context(mesh)
 
     seed = cfg.get("seed", 6666)
     img_size = cfg.get("img_size", 640)

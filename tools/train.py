@@ -137,6 +137,15 @@ def main():
     logger.info(f"mesh: {dict(mesh.shape)} "
                 f"({dp}-way data parallel, {pc} process(es)"
                 f"{', fsdp' if fsdp else ''})")
+    if cfg.model.get("vis_enc", {}).get("seq_parallel"):
+        # sequence parallelism resolves its bare-PartitionSpec
+        # constraints against the ambient mesh; keep it entered for
+        # the rest of the process (jit tracing happens lazily in the
+        # epoch loop)
+        import contextlib
+
+        _mesh_ctx = contextlib.ExitStack()
+        _mesh_ctx.enter_context(mesh)
 
     # ---- data
     img_size = cfg.get("img_size", 640)
